@@ -1,0 +1,116 @@
+"""Distributed 1:1 alignment selection.
+
+Re-expression of the reference's greedy alignment selector
+(reference src/alignment_selector.py:153-169: sort matches by rating
+descending, accept a match iff neither side is already taken).
+
+A global sequential sort does not distribute, but greedy matching under a
+*total* order on edges equals the "locally dominant edge" parallel
+algorithm (Preis-style): an edge is accepted iff it is the best remaining
+edge for BOTH of its endpoints. Iterating (accept locally dominant ->
+remove conflicting) converges in O(log n) rounds and yields exactly the
+sequential-greedy matching for the same total order.
+
+The reference itself is non-deterministic on rating ties
+(src/alignment_selector.py:160-162); we fix the total order to
+(rating desc, uid1 asc, uid2 asc) so results are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enforce_threshold(matches: DataFrame, threshold: float, rating_col: str = "rating") -> DataFrame:
+    """Strictly-greater threshold filter (reference src/alignment_selector.py:49-55)."""
+    return matches.filter(F.col(rating_col) > F.lit(threshold))
+
+
+def greedy_one_to_one(
+    matches: DataFrame,
+    uid1_col: str = "iri1",
+    uid2_col: str = "iri2",
+    rating_col: str = "rating",
+    threshold: float | None = None,
+    max_rounds: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Greedy maximal 1:1 matching, distributed.
+
+    Each round: rank candidate edges within both endpoint partitions by
+    the total order (rating desc, uid1, uid2); accept edges ranked 1 on
+    both sides; anti-join out every edge that conflicts with an accepted
+    one; repeat until no candidates remain.
+
+    Scale: each round is two window functions + two broadcast-able
+    anti-joins on the shrinking candidate set. Accepted edges per round
+    are at most one per endpoint, and the candidate set shrinks
+    geometrically in practice. ``localCheckpoint`` every few rounds cuts
+    the growing lineage.
+    """
+    if threshold is not None:
+        matches = enforce_threshold(matches, threshold, rating_col)
+
+    cols = matches.columns
+    remaining = matches
+    accepted: DataFrame | None = None
+
+    w1 = Window.partitionBy(uid1_col).orderBy(
+        F.col(rating_col).desc(), F.col(uid1_col), F.col(uid2_col)
+    )
+    w2 = Window.partitionBy(uid2_col).orderBy(
+        F.col(rating_col).desc(), F.col(uid1_col), F.col(uid2_col)
+    )
+
+    for round_no in range(max_rounds):
+        ranked = remaining.withColumn("_r1", F.row_number().over(w1)).withColumn(
+            "_r2", F.row_number().over(w2)
+        )
+        winners = ranked.filter((F.col("_r1") == 1) & (F.col("_r2") == 1)).select(*cols)
+        winners = winners.localCheckpoint(eager=True)
+        n_winners = winners.count()
+        if n_winners == 0:
+            break
+        accepted = winners if accepted is None else accepted.unionByName(winners)
+        taken1 = winners.select(uid1_col)
+        taken2 = winners.select(uid2_col)
+        remaining = (
+            ranked.filter((F.col("_r1") > 1) | (F.col("_r2") > 1))
+            .select(*cols)
+            .join(F.broadcast(taken1), on=uid1_col, how="left_anti")
+            .join(F.broadcast(taken2), on=uid2_col, how="left_anti")
+        )
+        if (round_no + 1) % checkpoint_every == 0:
+            remaining = remaining.localCheckpoint(eager=True)
+            if remaining.count() == 0:
+                break
+
+    if accepted is None:
+        return matches.limit(0)
+    return accepted.select(*cols)
+
+
+def best_candidate_per_left(
+    matches: DataFrame,
+    uid1_col: str = "mention_id",
+    uid2_col: str = "entity_id",
+    rating_col: str = "rating",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Top-1 candidate per left key (entity-linking selection).
+
+    Unlike ontology alignment, entity linking is many-to-one: many
+    mentions may resolve to the same entity, so only the left side is
+    constrained. Single window pass, no iteration.
+    """
+    if threshold is not None:
+        matches = matches.filter(F.col(rating_col) > F.lit(threshold))
+    w = Window.partitionBy(uid1_col).orderBy(
+        F.col(rating_col).desc(), F.col(uid2_col)
+    )
+    return (
+        matches.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
