@@ -1,0 +1,69 @@
+"""Skew-aware (salted) equi-join.
+
+north_rule requires explicit skew salting on hot entities: mention
+frequencies are Zipf by construction, so the mention ⋈ alias-dictionary
+join has a few keys carrying a large share of rows. AQE's skew-join
+splitting only helps sort-merge joins mid-shuffle; for a replicated
+dictionary side the classic fix is:
+
+  - big (skewed) side: add salt = pmod(xxhash64(row-unique cols), S)
+  - small side: explode each row into S copies, one per salt value
+  - equi-join on (key, salt)
+
+Hot-key detection is adaptive: keys whose count exceeds ``hot_factor``
+times the mean key count get salted; the cold majority joins with salt 0
+so the dictionary side is NOT replicated for them (replication cost only
+where it pays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    hot_factor: float = 10.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big ⋈ small on key`` with salting on detected hot keys.
+
+    Returns columns of both inputs (key once). The extra pass to detect
+    hot keys is a cheap partial-agg count on the big side; at 10^12 rows
+    you would feed a precomputed hot-key list instead — pass it via
+    ``hot_keys`` in the pipeline layer if known a priori.
+    """
+    counts = big.groupBy(key).agg(F.count("*").alias("_cnt"))
+    stats = counts.agg(F.avg("_cnt").alias("_mean")).collect()[0]
+    mean = stats._mean or 1.0
+    hot = counts.filter(F.col("_cnt") > hot_factor * mean).select(
+        key, F.lit(True).alias("_hot")
+    )
+
+    big_s = (
+        big.join(F.broadcast(hot), on=key, how="left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot"),
+                F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("_hot")
+    )
+    small_s = (
+        small.join(F.broadcast(hot), on=key, how="left")
+        .withColumn(
+            "_salts",
+            F.when(F.col("_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                F.array(F.lit(0))
+            ),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_salts", "_hot")
+    )
+    return big_s.join(small_s, on=[key, "_salt"], how=how).drop("_salt")

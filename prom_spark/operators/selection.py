@@ -93,22 +93,25 @@ def greedy_one_to_one(
 
 def best_candidate_per_left(
     matches: DataFrame,
-    uid1_col: str = "mention_id",
+    uid1_col: str | list[str] = "mention_id",
     uid2_col: str = "entity_id",
     rating_col: str = "rating",
     threshold: float | None = None,
+    extra_order: list | None = None,
 ) -> DataFrame:
     """Top-1 candidate per left key (entity-linking selection).
 
     Unlike ontology alignment, entity linking is many-to-one: many
     mentions may resolve to the same entity, so only the left side is
-    constrained. Single window pass, no iteration.
+    constrained. Single window pass, no iteration. ``uid1_col`` may be a
+    composite key (list of columns); ``extra_order`` columns are ranked
+    before the rating (e.g. longest-gram-first).
     """
     if threshold is not None:
         matches = matches.filter(F.col(rating_col) > F.lit(threshold))
-    w = Window.partitionBy(uid1_col).orderBy(
-        F.col(rating_col).desc(), F.col(uid2_col)
-    )
+    left_cols = uid1_col if isinstance(uid1_col, list) else [uid1_col]
+    order = list(extra_order or []) + [F.col(rating_col).desc(), F.col(uid2_col)]
+    w = Window.partitionBy(*left_cols).orderBy(*order)
     return (
         matches.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
