@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: reshape sf0.001 documents into the transcript
+                schema (input_hint), run the full KG-construction
+                pipeline (mention detection -> salted entity linking ->
+                predicate extraction -> connected-components
+                canonicalization), return the triple table.
+queries()     — one entry per implemented operator from SURVEY.md §2
+                plus the training-data-pipeline extras (dedup, ANN,
+                text analysis), each over the driver testdata tables.
+oracle_sql()  — DuckDB twins (see prom_spark/queries.py for the exactness
+                rules: decimal aggregates, round(x, 6), md5 hashing).
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from prom_spark import queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from prom_spark.pipeline.kg import (
+        build_kg,
+        term_dictionary,
+        transcripts_from_documents,
+    )
+    from prom_spark.queries import LINK_TERMS
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    transcripts = transcripts_from_documents(docs)
+    dictionary = term_dictionary(spark, LINK_TERMS)
+    base = tempfile.mkdtemp(prefix="prom_spark_entry_")
+    result = build_kg(spark, transcripts, dictionary, base, resume=False)
+    return result.triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

