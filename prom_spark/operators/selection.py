@@ -91,6 +91,39 @@ def greedy_one_to_one(
     return accepted.select(*cols)
 
 
+def best_candidate_per_left_agg(
+    matches: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    rating_col: str = "rating",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Top-1 candidate per left key via a single aggregation.
+
+    Semantically identical to ``best_candidate_per_left`` for numeric
+    ratings (max rating, ties broken by ascending payload order), but
+    implemented as ``min(struct(-rating, payload...))`` instead of a
+    ``row_number`` window: one shuffle with map-side partial aggregation,
+    so Zipf-hot keys collapse before the exchange — the scale-correct
+    plan for entity linking where the window's full sort buys nothing.
+    """
+    if threshold is not None:
+        matches = matches.filter(F.col(rating_col) > F.lit(threshold))
+    best = matches.groupBy(*key_cols).agg(
+        F.min(
+            F.struct(
+                (-F.col(rating_col)).alias("_nr"),
+                *[F.col(c) for c in payload_cols],
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        *key_cols,
+        *[F.col(f"_b.{c}").alias(c) for c in payload_cols],
+        (-F.col("_b._nr")).alias(rating_col),
+    )
+
+
 def best_candidate_per_left(
     matches: DataFrame,
     uid1_col: str | list[str] = "mention_id",

@@ -36,8 +36,8 @@ from prom_spark.functions.embedding import hash_embedding
 from prom_spark.functions.similarity import cosine_sim, norm_levenshtein
 from prom_spark.operators.connected_components import connected_components
 from prom_spark.operators.salted_join import salted_join
-from prom_spark.operators.selection import best_candidate_per_left
-from prom_spark.pipeline.mentions import detect_mentions
+from prom_spark.operators.selection import best_candidate_per_left_agg
+from prom_spark.pipeline.mentions import detect_mentions, tokens
 from prom_spark.sinks import StageStore
 
 N_BUCKETS = 32
@@ -55,16 +55,30 @@ def link_mentions(
     mentions: DataFrame,
     dictionary: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
-    use_salting: bool = True,
+    use_salting: bool | None = None,
 ) -> DataFrame:
     """Entity-link scoring join (north_star stage 3).
 
-    Exact path: equi-join gram == alias (salted on detected hot grams —
-    mention frequency is Zipf). Fuzzy path: block on (first char, token
-    count), score ensemble of normalized Levenshtein + embedding cosine.
-    Selection: best candidate per mention occurrence, longest gram first.
+    Exact path: equi-join gram == alias. When the dictionary fits the
+    broadcast threshold a broadcast hash join is strictly better than
+    any salting scheme (no shuffle at all, skew irrelevant); the salted
+    shuffle join is the path for dictionaries too large to broadcast,
+    where Zipf-hot grams would otherwise pile into single reducers.
+    ``use_salting=None`` picks automatically from the dictionary size.
+
+    Fuzzy path: block on (first char, token count), score ensemble of
+    normalized Levenshtein + embedding cosine — per DISTINCT gram, then
+    broadcast the bounded score table back onto occurrences (the
+    occurrence⋈score join on raw `gram` is exactly the Zipf-skewed join
+    salting exists for; broadcasting sidesteps it entirely).
+
+    Selection: best candidate per mention span via single-shuffle
+    aggregation (map-side combine collapses hot spans pre-exchange).
     """
     dict_slim = dictionary.select("alias", "entity_id", "embedding")
+    if use_salting is None:
+        # dictionaries are entity catalogs: row count is a fine proxy
+        use_salting = dict_slim.count() > 2_000_000
 
     exact_raw = (
         salted_join(
@@ -116,81 +130,136 @@ def link_mentions(
         .filter(F.col("rating") > cfg.link_threshold)
         .select("gram", "entity_id", "rating")
     )
-    fuzzy = mentions.join(fuzzy_scores, on="gram").select(
+    # fuzzy_scores is bounded by |dict| x variants-above-threshold, not by
+    # corpus size: broadcast it. A plain join here would shuffle every
+    # occurrence by Zipf-hot gram — the exact skew the north_rule warns
+    # about; broadcasting removes the shuffle instead of salting it.
+    fuzzy = mentions.join(F.broadcast(fuzzy_scores), on="gram").select(
         "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
 
     candidates = exact.unionByName(fuzzy)
-    return best_candidate_per_left(
+    # within a span key the gram is fixed; selection = max rating, ties
+    # to the smallest entity_id — single shuffle with partial agg instead
+    # of a row_number window's full sort (same result, tested).
+    return best_candidate_per_left_agg(
         candidates,
-        uid1_col=["conv_id", "turn_idx", "start", "end"],
-        uid2_col="entity_id",
+        key_cols=["conv_id", "turn_idx", "start", "end"],
+        payload_cols=["entity_id", "gram"],
         threshold=cfg.link_threshold,
-        extra_order=[(F.col("end") - F.col("start")).desc()],
-    )
+    ).select("conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating")
 
 
 def extract_triples(
-    transcripts: DataFrame, linked: DataFrame, mentions: DataFrame
+    transcripts: DataFrame, linked: DataFrame, mentions: DataFrame | None = None
 ) -> DataFrame:
     """Predicate extraction (north_star stage 4).
 
-    Within-turn: pattern `<subj mention> <pred token> [the] <obj mention>`
-    — a position-equi-join of linked mentions against predicate tokens.
-    Cross-turn: `follows` edges between consecutive turns' subject
-    entities via a (conv_id)-partitioned window ordered by turn_idx
-    (the stable-ordering invariant O4).
-    """
-    preds = mentions.filter(F.col("gram").isin(*PREDICATES)).select(
-        "conv_id", "turn_idx", F.col("gram").alias("pred"), F.col("start").alias("p")
-    )
-    # prefer the longest linked gram per occupied span endpoint
-    subj = linked.select(
-        "conv_id", "turn_idx", F.col("entity_id").alias("subj"), F.col("end").alias("s_end")
-    )
-    obj = linked.select(
-        "conv_id", "turn_idx", F.col("entity_id").alias("obj"), F.col("start").alias("o_start")
-    )
-    within = (
-        preds.join(subj, on=["conv_id", "turn_idx"])
-        .filter(F.col("s_end") == F.col("p") - 1)
-        .join(obj, on=["conv_id", "turn_idx"])
-        .filter((F.col("o_start") == F.col("p") + 1) | (F.col("o_start") == F.col("p") + 2))
-        .select("conv_id", "turn_idx", "subj", "pred", "obj")
-        .distinct()
-    )
+    Plan shape: ONE shuffle groups linked mentions into a per-turn entity
+    array; predicate token positions come straight from the turn text
+    (narrow scan — the tokenizer is shared with mention detection, so
+    positions line up by construction). Everything per-turn — the
+    `<subj> <pred> [the] <obj>` adjacency pattern, co-occurrence pairs,
+    the turn-subject pick — is then higher-order array expressions inside
+    codegen; turn arrays are bounded by turn length, so per-group work is
+    O(turn tokens), never O(corpus).
 
-    # subject entity per turn = earliest linked mention
-    w_first = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("start"), F.col("entity_id")
+    The previous formulation (three position-equi-joins + two windows +
+    two global distincts over the full mention table) spent ~6 shuffles
+    on what one groupBy expresses; at 10^12 turns those exchanges are the
+    whole cost. (``mentions`` is accepted for API compatibility; the
+    predicate scan replaces it.)
+
+    Cross-turn `follows` edges use a (conv_id)-partitioned window over
+    the per-turn rows, ordered by turn_idx — the stable-ordering
+    invariant O4, at one row per turn instead of one per mention.
+    """
+    # struct fields renamed (ts, te): `end` is reserved under the ANSI
+    # parser and would break the lambda field accesses below
+    ents = linked.groupBy("conv_id", "turn_idx").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("start").alias("ts"),
+                    F.col("end").alias("te"),
+                    "entity_id",
+                )
+            )
+        ).alias("ents")
     )
-    turn_subjects = (
-        linked.withColumn("_rk", F.row_number().over(w_first))
-        .filter(F.col("_rk") == 1)
-        .select("conv_id", "turn_idx", F.col("entity_id").alias("subj"))
-    )
-    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
-    follows = (
-        turn_subjects.withColumn("prev", F.lag("subj").over(w_conv))
-        .filter(F.col("prev").isNotNull())
+    preds = (
+        transcripts.withColumn("_toks", tokens(F.col("text")))
         .select(
             "conv_id",
             "turn_idx",
-            F.col("subj"),
-            F.lit("follows").alias("pred"),
-            F.col("prev").alias("obj"),
+            F.filter(
+                F.transform(
+                    "_toks",
+                    lambda x, i: F.struct(x.alias("tok"), i.cast("int").alias("p")),
+                ),
+                lambda s: s["tok"].isin(*PREDICATES),
+            ).alias("preds"),
         )
     )
-    # within-turn co-occurrence: distinct entity pairs sharing a turn
-    l1 = linked.select("conv_id", "turn_idx", F.col("entity_id").alias("subj"))
-    l2 = linked.select("conv_id", "turn_idx", F.col("entity_id").alias("obj"))
-    cooc = (
-        l1.join(l2, on=["conv_id", "turn_idx"])
-        .filter(F.col("subj") < F.col("obj"))
-        .select("conv_id", "turn_idx", "subj", F.lit("co_occurs").alias("pred"), "obj")
-        .distinct()
+    per_turn = ents.join(preds, on=["conv_id", "turn_idx"], how="left")
+
+    # within-turn: subj ends at p-1, obj starts at p+1 (or p+2 skipping a
+    # determiner). array_distinct replaces the old global distinct — the
+    # dedup granularity was per-turn anyway.
+    within_arr = F.expr(
+        """
+        array_distinct(flatten(transform(preds, pr ->
+          flatten(transform(filter(ents, s -> s.te = pr.p - 1), s ->
+            transform(filter(ents, o -> o.ts = pr.p + 1 OR o.ts = pr.p + 2), o ->
+              struct(s.entity_id AS subj, pr.tok AS pred, o.entity_id AS obj)))))))
+        """
     )
-    return within.unionByName(follows).unionByName(cooc)
+    # co-occurrence: ordered pairs from the distinct sorted entity set
+    cooc_arr = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)), y ->
+            struct(x AS subj, 'co_occurs' AS pred, y AS obj))))
+        """
+    )
+    # cross-turn `follows` (consecutive turns' subjects, subject = earliest
+    # linked mention) rides the SAME per-turn frame: a lag window on
+    # conv_id appends at most one extra triple to each turn's array, and a
+    # single explode emits everything. One plan, no union, no recomputed
+    # subtree — a union of separately-derived branches would execute the
+    # groupBy+join twice.
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    _EMPTY = "array<struct<subj:string,pred:string,obj:string>>"
+    per_turn = (
+        per_turn.withColumn(
+            "ids",
+            F.array_sort(F.array_distinct(F.expr("transform(ents, e -> e.entity_id)"))),
+        )
+        .withColumn("_subj", F.element_at("ents", 1)["entity_id"])
+        .withColumn("_prev", F.lag("_subj").over(w_conv))
+        .withColumn(
+            "turn_triples",
+            F.concat(
+                F.coalesce(within_arr, F.array().cast(_EMPTY)),
+                cooc_arr,
+                F.when(
+                    F.col("_prev").isNotNull(),
+                    F.array(
+                        F.struct(
+                            F.col("_subj").alias("subj"),
+                            F.lit("follows").alias("pred"),
+                            F.col("_prev").alias("obj"),
+                        )
+                    ),
+                ).otherwise(F.array().cast(_EMPTY)),
+            ),
+        )
+    )
+    return per_turn.select(
+        "conv_id",
+        "turn_idx",
+        F.explode("turn_triples").alias("t"),
+    ).select("conv_id", "turn_idx", "t.subj", "t.pred", "t.obj")
 
 
 def canonicalize_entities(dictionary: DataFrame) -> DataFrame:
@@ -301,9 +370,9 @@ def build_kg(
 
     triples_raw = store.get_or_compute(
         "triples_raw",
-        lambda: extract_triples(ingest, linked, mentions),
+        lambda: extract_triples(ingest, linked),
         resume=resume,
-        inputs=["ingest", "linked", "mentions"],
+        inputs=["ingest", "linked"],
     )
 
     entity_map = store.get_or_compute(

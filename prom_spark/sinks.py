@@ -21,7 +21,6 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -92,18 +91,16 @@ class StageStore:
         except AnalysisException:
             # empty partitioned write leaves no data files
             persisted = self.spark.createDataFrame([], out.schema)
-        per_part = (
-            persisted.groupBy(F.spark_partition_id().alias("partition"))
-            .count()
-            .collect()
-        )
+        # per-partition lineage counts from parquet footers: metadata-only
+        # reads, no second pass over the data (the old per-partition
+        # count job re-scanned every stage — a full extra read per stage).
+        # On a real cluster the same numbers come from the write
+        # committer's task stats; footers are the portable equivalent.
+        per_part = self._footer_counts(path)
         metrics = {
             "stage": stage,
-            "rows": int(sum(r["count"] for r in per_part)),
-            "partitions": sorted(
-                [{"partition": int(r.partition), "rows": int(r["count"])} for r in per_part],
-                key=lambda d: d["partition"],
-            ),
+            "rows": int(sum(p["rows"] for p in per_part)),
+            "partitions": per_part,
             "schema": persisted.schema.simpleString(),
             "schema_json": json.dumps(persisted.schema.jsonValue()),
             "inputs": inputs or [],
@@ -126,6 +123,27 @@ class StageStore:
         if resume and self.exists(stage):
             return self.read(stage)
         return self.write(stage, compute(), inputs=inputs, **write_kwargs)
+
+    @staticmethod
+    def _footer_counts(path: str) -> list[dict]:
+        """Row count per data file (= per write partition) from parquet
+        footers; file order is the stable sorted relative path."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(os.path.join(root, n))
+        files.sort()
+        return [
+            {
+                "partition": i,
+                "file": os.path.relpath(f, path),
+                "rows": int(pq.ParquetFile(f).metadata.num_rows),
+            }
+            for i, f in enumerate(files)
+        ]
 
     def metrics(self, stage: str) -> dict:
         with open(os.path.join(self._dir(stage), "metrics.json")) as f:

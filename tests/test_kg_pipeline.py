@@ -110,3 +110,18 @@ def test_canonicalization_merges_duplicates(spark, kg):
     for r in res.entity_canonical.collect():
         assert r.canonical_id in ids
         assert r.canonical_id <= r.entity_id
+
+
+def test_mentions_native_equals_arrow(spark):
+    """The JVM-native mention detector and the Arrow-UDF variant are
+    interchangeable: identical (conv_id, turn_idx, gram, start, end)."""
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    tr = synth_transcripts(spark, n_convs=25, turns_per_conv=4)
+    tr = tr.withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 0, F.lit("")).otherwise(F.col("text")),
+    )
+    native = {tuple(r) for r in detect_mentions(tr, impl="native").collect()}
+    arrow = {tuple(r) for r in detect_mentions(tr, impl="arrow").collect()}
+    assert native == arrow and len(native) > 0

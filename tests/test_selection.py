@@ -73,3 +73,37 @@ def test_best_candidate_per_left(spark):
         for r in best_candidate_per_left(df, threshold=0.5).collect()
     }
     assert got == {("m1", "e1"), ("m2", "e1")}
+
+
+def test_agg_selection_equals_window_selection(spark):
+    """best_candidate_per_left_agg must reproduce the window variant's
+    choices exactly (max rating per key, ties to ascending payload)."""
+    import random
+
+    from prom_spark.operators.selection import best_candidate_per_left_agg
+
+    rnd = random.Random(7)
+    rows = [
+        (f"k{rnd.randrange(20)}", f"E{rnd.randrange(9)}", f"g{rnd.randrange(4)}",
+         round(rnd.choice([0.3, 0.5, 0.7, 0.7, 0.9]), 6))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, entity_id string, gram string, rating double").distinct()
+    # window path: within key order by rating desc then entity_id, gram
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(
+        F.col("rating").desc(), F.col("entity_id"), F.col("gram")
+    )
+    want = {
+        tuple(r)
+        for r in df.withColumn("_r", F.row_number().over(w))
+        .filter("_r = 1").drop("_r").filter("rating > 0.4").collect()
+    }
+    got = {
+        tuple(r)
+        for r in best_candidate_per_left_agg(
+            df, key_cols=["k"], payload_cols=["entity_id", "gram"], threshold=0.4
+        ).select("k", "entity_id", "gram", "rating").collect()
+    }
+    assert got == want
