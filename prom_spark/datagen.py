@@ -31,6 +31,27 @@ _BASE_ENTITIES = [
 PREDICATES = ["uses", "feeds", "precedes", "controls"]
 ROLES = ["user", "assistant", "tool", "system"]
 
+# neutral filler: no predicate verbs, no dictionary nouns, no "in this
+# step" — cannot collide with the fact pattern or the alias dictionary
+_FILLER_PHRASES = [
+    "please confirm when you can and reply with details",
+    "checking previous results for anything unusual before we move on",
+    "that looks fine to me so far given current constraints",
+    "let me know if you need more context about it",
+    "we should double check every value against yesterday's report",
+    "i will summarize what happened and share notes shortly",
+    "according to our records everything stayed within expected limits",
+    "can you clarify which option was selected during setup",
+    "thanks for flagging that issue earlier it helps a lot",
+    "there is nothing else pending on my side right now",
+    "remember to log your changes so others stay informed",
+    "overall progress seems steady and no blockers were reported",
+    "if anything changes overnight send an update first thing",
+    "our next review meeting covers these points in depth",
+    "make sure backups completed successfully before proceeding further today",
+    "sounds good i will follow up with them directly",
+]
+
 
 def entity_dictionary(spark: SparkSession, n_entities: int = 64) -> DataFrame:
     """Entity dictionary: (entity_id, canonical, alias, embedding).
@@ -112,6 +133,22 @@ def synth_transcripts(
     obj_i = (F.pmod(h("obj"), F.lit(n_alias)) + 1).cast("int")
     pred_i = (F.pmod(h("pred"), F.lit(len(PREDICATES))) + 1).cast("int")
     role_i = (F.pmod(h("role"), F.lit(len(ROLES))) + 1).cast("int")
+    extra_i = (F.pmod(h("extra"), F.lit(n_alias)) + 1).cast("int")
+
+    # filler prose AFTER the fact sentence: real transcript turns run tens
+    # of tokens, not ten — the filler (predicate-free, entity-free neutral
+    # phrases) plus one bare extra entity mention make mention detection /
+    # linking volumes realistic without touching the verb-triple ground
+    # truth (the fact pattern stays byte-identical and first-in-turn).
+    phrase_pool = F.array(*[F.lit(p) for p in _FILLER_PHRASES])
+    n_ph = len(_FILLER_PHRASES)
+    filler = F.concat_ws(
+        " ",
+        *[
+            F.element_at(phrase_pool, (F.pmod(h(f"fill{k}"), F.lit(n_ph)) + 1).cast("int"))
+            for k in range(4)
+        ],
+    )
 
     df = df.select(
         "conv_id",
@@ -122,7 +159,9 @@ def synth_transcripts(
             F.lit(": the "), F.element_at(alias_pool, subj_i),
             F.lit(" "), F.element_at(preds, pred_i),
             F.lit(" the "), F.element_at(alias_pool, obj_i),
-            F.lit(" in this step."),
+            F.lit(" in this step. "), filler,
+            F.lit(" note "), F.element_at(alias_pool, extra_i),
+            F.lit(" status."),
         ).alias("text"),
         F.when(F.element_at(roles, role_i) == "tool", F.lit("search")).alias("tool"),
         (F.lit(1735689600) + F.col("_id") * 7).cast("timestamp").alias("ts"),

@@ -749,6 +749,133 @@ FROM s GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# KG-pipeline stages under the oracle gate (mention detection + linking)
+# --------------------------------------------------------------------------
+
+def _doc_transcripts(spark, sf_dir):
+    """Documents reshaped to one single-turn conversation each."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "text",
+    )
+
+
+_DOC_TOKS_SQL = r"""
+  SELECT doc_id::VARCHAR AS conv_id, 0 AS turn_idx,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9#\-]+'),
+                     x -> x != '') AS toks
+  FROM documents
+"""
+
+_STOPGRAMS_SQL = "('the', 'a', 'an', 'in', 'this', 'of')"
+
+
+def q24_mention_grams(spark, sf_dir):
+    """Pipeline stage 1 (mention detection) under the value-hash gate:
+    unigram+bigram candidate grams with token positions."""
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    return detect_mentions(_doc_transcripts(spark, sf_dir)).select(
+        "conv_id",
+        "turn_idx",
+        "gram",
+        F.col("start").alias("start_pos"),
+        F.col("end").alias("end_pos"),
+    )
+
+
+_GRAMS_SQL = f"""
+  SELECT conv_id, turn_idx, r.gram AS gram,
+         r.start_pos AS start_pos, r.end_pos AS end_pos
+  FROM (
+    SELECT conv_id, turn_idx,
+           unnest([{{'gram': toks[i], 'start_pos': i - 1, 'end_pos': i - 1}}
+                   for i in generate_series(1, len(toks))]
+                  || [{{'gram': toks[i] || ' ' || toks[i + 1],
+                        'start_pos': i - 1, 'end_pos': i}}
+                      for i in generate_series(1, len(toks) - 1)]) AS r
+    FROM t)
+  WHERE r.gram NOT IN {_STOPGRAMS_SQL}
+"""
+
+_Q24_SQL = f"""
+WITH t AS ({_DOC_TOKS_SQL})
+{_GRAMS_SQL}
+"""
+
+
+def q25_entity_linking(spark, sf_dir):
+    """Pipeline stage 3 (entity-link scoring + span selection) under the
+    value-hash gate: exact broadcast path, fuzzy
+    Levenshtein+embedding-cosine ensemble, best-candidate-per-span."""
+    from prom_spark.pipeline.kg import link_mentions, term_dictionary
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    linked = link_mentions(
+        detect_mentions(_doc_transcripts(spark, sf_dir)),
+        term_dictionary(spark, LINK_TERMS),
+    )
+    return linked.select(
+        "conv_id",
+        "turn_idx",
+        "gram",
+        F.col("start").alias("start_pos"),
+        F.col("end").alias("end_pos"),
+        "entity_id",
+        F.round("rating", 6).alias("rating"),
+    )
+
+
+def _emb_sql(expr: str) -> str:
+    from prom_spark.functions.embedding import hash_embedding_sql
+
+    return hash_embedding_sql(expr)
+
+
+_Q25_SQL = f"""
+WITH t AS ({_DOC_TOKS_SQL}),
+m AS ({_GRAMS_SQL}),
+terms(term) AS (VALUES {_TERMS_SQL[1:-1]}),
+dict AS (
+  SELECT term, 'E_' || term AS entity_id, {_emb_sql('term')} AS emb FROM terms),
+exact AS (
+  SELECT conv_id, turn_idx, gram, start_pos, end_pos, entity_id, 1.0 AS rating
+  FROM m JOIN dict ON gram = term),
+dg AS (
+  SELECT DISTINCT gram FROM m
+  WHERE gram NOT IN (SELECT term FROM dict)),
+fz AS (
+  SELECT gram, entity_id,
+         0.5 * (1 - levenshtein(gram, term) / greatest(length(gram), length(term)))
+         + 0.5 * greatest(0.0,
+             list_dot_product({_emb_sql('gram')}, emb)
+             / (sqrt(list_dot_product({_emb_sql('gram')}, {_emb_sql('gram')}))
+                * sqrt(list_dot_product(emb, emb)))) AS rating
+  FROM dg JOIN dict
+    ON substr(gram, 1, 1) = substr(term, 1, 1)
+   AND len(string_split(gram, ' ')) = len(string_split(term, ' '))
+  WHERE (1 - levenshtein(gram, term) / greatest(length(gram), length(term))) >= 0.5),
+fz_kept AS (SELECT * FROM fz WHERE rating > 0.6),
+cand AS (
+  SELECT * FROM exact
+  UNION ALL
+  SELECT m.conv_id, m.turn_idx, m.gram, m.start_pos, m.end_pos,
+         fz_kept.entity_id, fz_kept.rating
+  FROM m JOIN fz_kept ON m.gram = fz_kept.gram),
+sel AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx, start_pos, end_pos
+      ORDER BY rating DESC, entity_id) AS rk
+  FROM cand WHERE rating > 0.6)
+SELECT conv_id, turn_idx, gram, start_pos, end_pos, entity_id,
+       round(rating, 6) AS rating
+FROM sel WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only driver check)
 # --------------------------------------------------------------------------
 
@@ -797,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sessionize": q21_sessionize,
         "q22_doc_components": q22_doc_components,
         "q23_greedy_full": q23_greedy_full,
+        "q24_mention_grams": q24_mention_grams,
+        "q25_entity_linking": q25_entity_linking,
     }
 
 
@@ -824,4 +953,6 @@ def oracle_sql() -> dict[str, str]:
         "q20_events_hourly": _Q20_SQL,
         "q21_sessionize": _Q21_SQL,
         # q22/q23: iterative (CC, multi-round greedy) — rows-only check
+        "q24_mention_grams": _Q24_SQL,
+        "q25_entity_linking": _Q25_SQL,
     }
