@@ -1,0 +1,80 @@
+"""Alignment consistency validation (G2 replacement).
+
+The reference loops: build link ontology -> run an OWL reasoner -> ask
+the user to repair inconsistencies (reference src/prom.py:138-168,
+src/onto_debugger.py:88-124). A DL reasoner is out of scope at corpus
+scale, but the inconsistency class the merge pipeline actually produces
+is detectable as a join: a `disjoint` correspondence whose two sides
+land in the SAME equivalence cluster contradicts the cluster merge.
+
+``find_conflicts`` returns exactly those disjoint edges;
+``drop_conflicting_equivalences`` is the automated repair the
+reference's interactive loop converges to (prefer the explicit disjoint
+assertion, drop the weakest equivalence edges inside the offending
+cluster — deterministic, no CLI).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prom_spark.operators.connected_components import connected_components
+
+
+def _clusters(equivalences: DataFrame) -> DataFrame:
+    """(node, component) from accepted equivalence matches."""
+    edges = equivalences.select(
+        F.col("iri1").alias("src"), F.col("iri2").alias("dst")
+    )
+    return connected_components(edges, "src", "dst")
+
+
+def find_conflicts(
+    equivalences: DataFrame, disjoints: DataFrame
+) -> DataFrame:
+    """Disjoint matches whose endpoints share an equivalence cluster.
+
+    One CC pass + two broadcast-able joins; returns the offending
+    disjoint rows with the shared ``component``.
+    """
+    cc = _clusters(equivalences)
+    c1 = cc.select(F.col("node").alias("iri1"), F.col("component").alias("_c1"))
+    c2 = cc.select(F.col("node").alias("iri2"), F.col("component").alias("_c2"))
+    return (
+        disjoints.join(c1, on="iri1")
+        .join(c2, on="iri2")
+        .filter(F.col("_c1") == F.col("_c2"))
+        .withColumn("component", F.col("_c1"))
+        .drop("_c1", "_c2")
+    )
+
+
+def drop_conflicting_equivalences(
+    equivalences: DataFrame, disjoints: DataFrame
+) -> DataFrame:
+    """Repair: remove every equivalence edge inside a conflicted cluster
+    that is weaker than the strongest disjoint assertion there.
+
+    Deterministic automated stand-in for the reference's interactive
+    debug loop; returns the surviving equivalence matches.
+    """
+    conflicts = find_conflicts(equivalences, disjoints)
+    bad = conflicts.groupBy("component").agg(
+        F.max("rating").alias("_disj_rating")
+    )
+    cc = _clusters(equivalences)
+    e = (
+        equivalences.join(
+            cc.select(F.col("node").alias("iri1"), F.col("component")),
+            on="iri1",
+            how="left",
+        )
+        .join(F.broadcast(bad), on="component", how="left")
+        .filter(
+            F.col("_disj_rating").isNull()
+            | (F.col("rating") > F.col("_disj_rating"))
+        )
+        .drop("component", "_disj_rating")
+    )
+    return e

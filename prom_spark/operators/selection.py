@@ -91,6 +91,98 @@ def greedy_one_to_one(
     return accepted.select(*cols)
 
 
+def optimal_one_to_one(
+    matches: DataFrame,
+    uid1_col: str = "iri1",
+    uid2_col: str = "iri2",
+    rating_col: str = "rating",
+    threshold: float | None = None,
+    max_block_edges: int = 32,
+) -> DataFrame:
+    """Exact maximum-weight 1:1 matching, distributed per candidate block.
+
+    Re-expression of the reference's exhaustive "optimal" selector
+    (reference src/alignment_selector.py:75-131): maximize the summed
+    rating under the 1:1 constraint. The global problem decomposes over
+    connected components of the bipartite candidate graph — edges in
+    different blocks can never conflict — so each block is solved
+    EXACTLY with branch-and-bound inside ``applyInPandas`` (Arrow
+    batches; the candidate blocks are the only place the engine runs
+    Python, and each block is small by construction once thresholding
+    and blocking have pruned the graph).
+
+    Blocks larger than ``max_block_edges`` fall back to sequential
+    greedy under the total order (rating desc, uid1, uid2) — the same
+    cap-vs-exactness tradeoff the reference faces (its exhaustive
+    selector is exponential too; config default is greedy).
+    """
+    import pandas as pd
+
+    from prom_spark.operators.connected_components import connected_components
+
+    if threshold is not None:
+        matches = enforce_threshold(matches, threshold, rating_col)
+
+    cols = matches.columns
+    edges = matches.select(
+        F.concat(F.lit("L:"), F.col(uid1_col)).alias("src"),
+        F.concat(F.lit("R:"), F.col(uid2_col)).alias("dst"),
+    )
+    cc = connected_components(edges, "src", "dst")
+    blocks = cc.filter(F.col("node").startswith("L:")).select(
+        F.expr("substring(node, 3)").alias(uid1_col),
+        F.col("component").alias("_block"),
+    )
+    with_block = matches.join(blocks, on=uid1_col)
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            pdf.to_dict("records"),
+            key=lambda r: (-r[rating_col], r[uid1_col], r[uid2_col]),
+        )
+        if len(rows) > max_block_edges:
+            taken1, taken2, keep = set(), set(), []
+            for r in rows:
+                if r[uid1_col] not in taken1 and r[uid2_col] not in taken2:
+                    taken1.add(r[uid1_col])
+                    taken2.add(r[uid2_col])
+                    keep.append(r)
+            return pd.DataFrame(keep, columns=pdf.columns)[list(cols) + ["_block"]]
+
+        suffix = [0.0] * (len(rows) + 1)
+        for i in range(len(rows) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + rows[i][rating_col]
+        best_sum = -1.0
+        best: list[int] = []
+
+        def dfs(i, used1, used2, cur_sum, chosen):
+            nonlocal best_sum, best
+            if cur_sum + suffix[i] <= best_sum:
+                return
+            if i == len(rows):
+                if cur_sum > best_sum:
+                    best_sum, best = cur_sum, list(chosen)
+                return
+            r = rows[i]
+            if r[uid1_col] not in used1 and r[uid2_col] not in used2:
+                used1.add(r[uid1_col]); used2.add(r[uid2_col])
+                chosen.append(i)
+                dfs(i + 1, used1, used2, cur_sum + r[rating_col], chosen)
+                chosen.pop()
+                used1.discard(r[uid1_col]); used2.discard(r[uid2_col])
+            dfs(i + 1, used1, used2, cur_sum, chosen)
+
+        dfs(0, set(), set(), 0.0, [])
+        keep = [rows[i] for i in best]
+        return pd.DataFrame(keep, columns=pdf.columns)[list(cols) + ["_block"]]
+
+    return (
+        with_block.groupBy("_block")
+        .applyInPandas(_solve, schema=with_block.select(*cols, "_block").schema)
+        .select(*cols)
+    )
+
+
 def best_candidate_per_left_agg(
     matches: DataFrame,
     key_cols: list[str],
