@@ -41,8 +41,10 @@ def align_tbox(
 ) -> DataFrame:
     """Full TBox alignment; returns accepted matches
     (elem_type, iri1, iri2, relation, rating)."""
-    an1 = analyze_labels(onto1.labels)
-    an2 = analyze_labels(onto2.labels)
+    # F4: blank-node classes never take part in matching
+    # (reference src/translate_onto.py:188)
+    an1 = analyze_labels(drop_bnodes(onto1.labels))
+    an2 = analyze_labels(drop_bnodes(onto2.labels))
 
     semantic = lexical_match(an1, an2, alias_df, vocab_df, cfg)
     semantic = semantic.localCheckpoint(eager=False)
@@ -68,3 +70,28 @@ def align_tbox(
         threshold=cfg.reject_threshold,
     )
     return other.unionByName(inv).unionByName(disj)
+
+
+def drop_bnodes(labels: DataFrame) -> DataFrame:
+    """F4: remove blank-node elements (reference src/translate_onto.py:188)."""
+    return labels.filter(~F.col("iri").startswith("_:"))
+
+
+def confidence_bands(
+    matches: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """F7: split matches into (auto-accepted, human-review, rejected).
+
+    The reference routes the middle band through an interactive CLI
+    (reference src/cli_confirm.py:10-23); at corpus scale the band is
+    materialized as a table for offline review instead — thresholds
+    ``cfg.accept_threshold`` / ``cfg.reject_threshold`` mirror
+    config.yml:14-15.
+    """
+    accepted = matches.filter(F.col("rating") >= cfg.accept_threshold)
+    review = matches.filter(
+        (F.col("rating") >= cfg.reject_threshold)
+        & (F.col("rating") < cfg.accept_threshold)
+    )
+    rejected = matches.filter(F.col("rating") < cfg.reject_threshold)
+    return accepted, review, rejected
