@@ -151,7 +151,9 @@ def link_mentions(
 
 
 def extract_triples(
-    transcripts: DataFrame, linked: DataFrame, mentions: DataFrame | None = None
+    transcripts: DataFrame,
+    linked: DataFrame,
+    entity_map: DataFrame | None = None,
 ) -> DataFrame:
     """Predicate extraction (north_star stage 4).
 
@@ -173,7 +175,24 @@ def extract_triples(
     Cross-turn `follows` edges use a (conv_id)-partitioned window over
     the per-turn rows, ordered by turn_idx — the stable-ordering
     invariant O4, at one row per turn instead of one per mention.
+
+    When ``entity_map`` is given, entity ids are canonicalized BEFORE the
+    per-turn grouping (one broadcast join on the mention stream). Because
+    every emitted triple carries (conv_id, turn_idx), duplicates can only
+    arise within a single turn — so the per-turn ``array_distinct`` after
+    canonical mapping is a complete dedup, and the final stage needs no
+    global ``distinct`` (a full corpus-wide exchange at 10^12 scale).
     """
+    if entity_map is not None:
+        linked = (
+            linked.join(
+                F.broadcast(entity_map), on="entity_id", how="left"
+            )
+            .withColumn(
+                "entity_id", F.coalesce("canonical_id", "entity_id")
+            )
+            .drop("canonical_id")
+        )
     # struct fields renamed (ts, te): `end` is reserved under the ANSI
     # parser and would break the lambda field accesses below
     ents = linked.groupBy("conv_id", "turn_idx").agg(
@@ -368,13 +387,6 @@ def build_kg(
         inputs=["mentions", "<dictionary>"],
     )
 
-    triples_raw = store.get_or_compute(
-        "triples_raw",
-        lambda: extract_triples(ingest, linked),
-        resume=resume,
-        inputs=["ingest", "linked"],
-    )
-
     entity_map = store.get_or_compute(
         "entity_map",
         lambda: canonicalize_entities(dictionary),
@@ -382,41 +394,24 @@ def build_kg(
         inputs=["<dictionary>"],
     )
 
-    def _final() -> DataFrame:
-        m = F.broadcast(entity_map)
-        t = (
-            triples_raw.join(
-                m.withColumnRenamed("entity_id", "subj").withColumnRenamed(
-                    "canonical_id", "subj_canonical"
-                ),
-                on="subj",
-                how="left",
-            )
-            .join(
-                m.withColumnRenamed("entity_id", "obj").withColumnRenamed(
-                    "canonical_id", "obj_canonical"
-                ),
-                on="obj",
-                how="left",
-            )
-            .select(
-                F.coalesce("subj_canonical", "subj").alias("subj"),
-                "pred",
-                F.coalesce("obj_canonical", "obj").alias("obj"),
-                "conv_id",
-                "turn_idx",
-            )
-            .distinct()
-            .withColumn(
-                "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(N_BUCKETS)).cast("int")
-            )
-            .repartition(N_BUCKETS, "bucket")
-        )
-        return t
+    # triples_raw is already canonical and per-turn deduped (see
+    # extract_triples): the final stage only lays the table out —
+    # bucket by hash(conv_id), sort within partitions. No global
+    # distinct, no further joins.
+    triples_raw = store.get_or_compute(
+        "triples_raw",
+        lambda: extract_triples(ingest, linked, entity_map),
+        resume=resume,
+        inputs=["ingest", "linked", "entity_map"],
+    )
 
     triples = store.get_or_compute(
         "triples",
-        _final,
+        lambda: triples_raw.select(
+            "subj", "pred", "obj", "conv_id", "turn_idx"
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(N_BUCKETS)).cast("int")
+        ).repartition(N_BUCKETS, "bucket"),
         resume=resume,
         inputs=["triples_raw", "entity_map"],
         partition_by=["bucket"],
