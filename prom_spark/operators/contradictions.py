@@ -26,8 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# equivalence preferred on exact-duplicate ties (rule 1)
-_REL_PRIORITY = F.when(F.col("relation") == "equivalence", 0).otherwise(1)
+def _rel_priority():
+    """Equivalence preferred on exact-duplicate ties (rule 1). Built
+    lazily: constructing a Column requires an active session, and this
+    module must be importable before one exists (e.g. on executors)."""
+    return F.when(F.col("relation") == "equivalence", 0).otherwise(1)
 
 
 def reduce_vector(matches: DataFrame) -> DataFrame:
@@ -84,7 +87,7 @@ def reduce_vector(matches: DataFrame) -> DataFrame:
             F.row_number().over(
                 Window.partitionBy(
                     "elem_type", "iri1", F.when(in1, 1).otherwise(2)
-                ).orderBy(F.col("rating").desc(), _REL_PRIORITY, F.col("iri2"))
+                ).orderBy(F.col("rating").desc(), _rel_priority(), F.col("iri2"))
             ),
         )
         .withColumn(
@@ -92,7 +95,7 @@ def reduce_vector(matches: DataFrame) -> DataFrame:
             F.row_number().over(
                 Window.partitionBy(
                     "elem_type", "iri2", F.when(in2, 1).otherwise(2)
-                ).orderBy(F.col("rating").desc(), _REL_PRIORITY, F.col("iri1"))
+                ).orderBy(F.col("rating").desc(), _rel_priority(), F.col("iri1"))
             ),
         )
         .filter(
