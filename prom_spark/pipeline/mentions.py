@@ -97,29 +97,39 @@ def _grams_native() -> Column:
     return F.concat(uni, bi)
 
 
-def detect_mentions(transcripts: DataFrame, impl: str = "native") -> DataFrame:
+def detect_mentions(
+    transcripts: DataFrame,
+    impl: str = "native",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Explode each turn into candidate mention grams.
 
-    Output: (conv_id, turn_idx, gram, start, end). Stopword grams are
-    filtered before the explode output ever shuffles; the dictionary
-    join downstream prunes the rest. Narrow (no shuffle): scan ->
-    project -> explode.
+    Output: (conv_id, turn_idx, gram, start, end[, *keep_cols]).
+    Stopword grams are filtered before the explode output ever shuffles;
+    the dictionary join downstream prunes the rest. Narrow (no shuffle):
+    scan -> project -> explode. ``keep_cols`` threads extra turn columns
+    (e.g. ``ts`` on a stream) through the explode — callers must never
+    re-join the output to its own input to recover them (on a stream
+    that would be a stateful stream-stream join).
     """
     if impl == "arrow":
         exploded = transcripts.select(
             "conv_id",
             "turn_idx",
+            *keep_cols,
             F.explode(_candidate_grams(F.col("text"))).alias("m"),
         )
     else:
         exploded = transcripts.withColumn("_toks", tokens(F.col("text"))).select(
             "conv_id",
             "turn_idx",
+            *keep_cols,
             F.explode(_grams_native()).alias("m"),
         )
     g = exploded.select(
         "conv_id",
         "turn_idx",
+        *keep_cols,
         F.col("m.gram").alias("gram"),
         F.col("m.start").alias("start"),
         F.col("m.end").alias("end"),

@@ -36,12 +36,13 @@ def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 def streaming_entity_mentions(stream: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Stateless stage: mention detection + exact dictionary linking on a
-    stream (pandas-UDF tokenization works unchanged on streaming plans)."""
+    stream. ``ts`` rides through the explode via ``keep_cols`` — the
+    whole stage is narrow (scan -> explode -> broadcast join), no
+    stream-stream join, no state store."""
     from prom_spark.pipeline.mentions import detect_mentions
 
-    with_ts = stream.select("conv_id", "turn_idx", "text", "ts")
-    mentions = detect_mentions(with_ts.drop("ts")).join(
-        with_ts.select("conv_id", "turn_idx", "ts"), on=["conv_id", "turn_idx"]
+    mentions = detect_mentions(
+        stream.select("conv_id", "turn_idx", "text", "ts"), keep_cols=("ts",)
     )
     return mentions.join(
         F.broadcast(dictionary.select(F.col("alias").alias("gram"), "entity_id")),
@@ -90,7 +91,7 @@ def run_streaming_kg(
     def process(batch: DataFrame, batch_id: int) -> None:
         mentions = detect_mentions(batch)
         linked = link_mentions(mentions, dictionary, DEFAULT_CONFIG, use_salting=False)
-        triples = extract_triples(batch, linked, mentions)
+        triples = extract_triples(batch, linked)
         triples.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             output_dir
         )

@@ -66,7 +66,7 @@ def test_streaming_matches_batch(spark, tmp_path):
     linked = link_mentions(mentions, d, use_salting=False)
     want = {
         tuple(r)
-        for r in extract_triples(batch_tr, linked, mentions)
+        for r in extract_triples(batch_tr, linked)
         .select("conv_id", "turn_idx", "subj", "pred", "obj")
         .collect()
     }
