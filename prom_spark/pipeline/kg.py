@@ -51,13 +51,13 @@ class KgResult:
     store: StageStore
 
 
-def link_mentions(
+def _link_candidates(
     mentions: DataFrame,
     dictionary: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     use_salting: bool | None = None,
 ) -> DataFrame:
-    """Entity-link scoring join (north_star stage 3).
+    """Scored link candidates per mention occurrence (pre-selection).
 
     Exact path: equi-join gram == alias. When the dictionary fits the
     broadcast threshold a broadcast hash join is strictly better than
@@ -71,9 +71,6 @@ def link_mentions(
     broadcast the bounded score table back onto occurrences (the
     occurrence⋈score join on raw `gram` is exactly the Zipf-skewed join
     salting exists for; broadcasting sidesteps it entirely).
-
-    Selection: best candidate per mention span via single-shuffle
-    aggregation (map-side combine collapses hot spans pre-exchange).
     """
     dict_slim = dictionary.select("alias", "entity_id", "embedding")
     if use_salting is None:
@@ -138,16 +135,97 @@ def link_mentions(
         "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
 
-    candidates = exact.unionByName(fuzzy)
-    # within a span key the gram is fixed; selection = max rating, ties
-    # to the smallest entity_id — single shuffle with partial agg instead
-    # of a row_number window's full sort (same result, tested).
+    return exact.unionByName(fuzzy)
+
+
+def link_mentions(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    use_salting: bool | None = None,
+) -> DataFrame:
+    """Entity-link scoring + per-span selection, flat output
+    (north_star stage 3; see ``_link_candidates`` for the join design).
+
+    Selection: best candidate per mention span via single-shuffle
+    aggregation (map-side combine collapses hot spans pre-exchange).
+    Within a span key the gram is fixed, so selection = max rating,
+    ties to the smallest entity_id.
+    """
+    candidates = _link_candidates(mentions, dictionary, cfg, use_salting)
     return best_candidate_per_left_agg(
         candidates,
         key_cols=["conv_id", "turn_idx", "start", "end"],
         payload_cols=["entity_id", "gram"],
         threshold=cfg.link_threshold,
     ).select("conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating")
+
+
+# per-turn entity struct carried into predicate extraction; field names
+# (ts, te) avoid the ANSI-reserved `end`
+_ENT_STRUCT = "struct<ts:int,te:int,entity_id:string>"
+
+
+def link_mentions_per_turn(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    use_salting: bool | None = None,
+    entity_map: DataFrame | None = None,
+) -> DataFrame:
+    """Entity linking straight to per-turn entity arrays — the fused
+    form ``build_kg`` uses.
+
+    One shuffle takes the scored candidate stream directly to
+    ``(conv_id, turn_idx, ents)``; per-span selection happens INSIDE the
+    per-turn array (keep-first over the span-sorted candidates, which
+    under the sort key (ts, te, -rating, entity_id) is exactly the flat
+    path's max-rating / min-entity choice — equivalence is tested).
+    Canonical ids are applied on the candidate stream (broadcast join),
+    so downstream needs no further mapping and no global dedup.
+
+    Versus the flat formulation this removes an entire checkpoint
+    round-trip and re-shuffle of the per-mention link table — on a
+    single box that table's movement is pure memory-bandwidth cost, and
+    on a cluster it is a full extra exchange of the largest intermediate.
+    """
+    cand = _link_candidates(mentions, dictionary, cfg, use_salting).filter(
+        F.col("rating") > cfg.link_threshold
+    )
+    if entity_map is not None:
+        cand = (
+            cand.join(F.broadcast(entity_map), on="entity_id", how="left")
+            .withColumn("entity_id", F.coalesce("canonical_id", "entity_id"))
+            .drop("canonical_id")
+        )
+    per_turn = cand.groupBy("conv_id", "turn_idx").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("start").alias("ts"),
+                    F.col("end").alias("te"),
+                    (-F.col("rating")).alias("nr"),
+                    "entity_id",
+                )
+            )
+        ).alias("_cands")
+    )
+    # keep-first per (ts, te) over the sorted array == per-span best
+    return per_turn.select(
+        "conv_id",
+        "turn_idx",
+        F.expr(
+            f"""
+            transform(
+              filter(transform(_cands, (c, i) ->
+                IF(i = 0 OR c.ts != _cands[i - 1].ts OR c.te != _cands[i - 1].te,
+                   c, NULL)),
+                x -> x IS NOT NULL),
+              c -> CAST(struct(c.ts AS ts, c.te AS te, c.entity_id AS entity_id)
+                        AS {_ENT_STRUCT}))
+            """
+        ).alias("ents"),
+    )
 
 
 def extract_triples(
@@ -183,29 +261,34 @@ def extract_triples(
     canonical mapping is a complete dedup, and the final stage needs no
     global ``distinct`` (a full corpus-wide exchange at 10^12 scale).
     """
-    if entity_map is not None:
-        linked = (
-            linked.join(
-                F.broadcast(entity_map), on="entity_id", how="left"
-            )
-            .withColumn(
-                "entity_id", F.coalesce("canonical_id", "entity_id")
-            )
-            .drop("canonical_id")
-        )
-    # struct fields renamed (ts, te): `end` is reserved under the ANSI
-    # parser and would break the lambda field accesses below
-    ents = linked.groupBy("conv_id", "turn_idx").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("start").alias("ts"),
-                    F.col("end").alias("te"),
-                    "entity_id",
+    if "ents" in linked.columns:
+        # per-turn input from link_mentions_per_turn: already canonical,
+        # already span-selected — no grouping shuffle needed here
+        ents = linked.select("conv_id", "turn_idx", "ents")
+    else:
+        if entity_map is not None:
+            linked = (
+                linked.join(
+                    F.broadcast(entity_map), on="entity_id", how="left"
                 )
+                .withColumn(
+                    "entity_id", F.coalesce("canonical_id", "entity_id")
+                )
+                .drop("canonical_id")
             )
-        ).alias("ents")
-    )
+        # struct fields renamed (ts, te): `end` is reserved under the ANSI
+        # parser and would break the lambda field accesses below
+        ents = linked.groupBy("conv_id", "turn_idx").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("start").alias("ts"),
+                        F.col("end").alias("te"),
+                        "entity_id",
+                    )
+                )
+            ).alias("ents")
+        )
     preds = (
         transcripts.withColumn("_toks", tokens(F.col("text")))
         .select(
@@ -373,18 +456,23 @@ def build_kg(
         sort_within_partitions=["conv_id", "turn_idx"],
     )
 
+    # bigram candidates are generated only where a multiword alias could
+    # match (first-token blocking against the dictionary) — without this
+    # the mention stream doubles with rows that exist only to miss the
+    # dictionary join. Fuzzy recall on bigrams is then bounded by the
+    # exact first token, the standard blocking trade-off.
+    first_tokens = [
+        r.w
+        for r in dictionary.filter(F.size(F.split("alias", " ")) > 1)
+        .select(F.split("alias", " ").getItem(0).alias("w"))
+        .distinct()
+        .collect()
+    ]
     mentions = store.get_or_compute(
         "mentions",
-        lambda: detect_mentions(ingest),
+        lambda: detect_mentions(ingest, bigram_first_tokens=first_tokens),
         resume=resume,
         inputs=["ingest"],
-    )
-
-    linked = store.get_or_compute(
-        "linked",
-        lambda: link_mentions(mentions, dictionary, cfg, use_salting=use_salting),
-        resume=resume,
-        inputs=["mentions", "<dictionary>"],
     )
 
     entity_map = store.get_or_compute(
@@ -394,15 +482,25 @@ def build_kg(
         inputs=["<dictionary>"],
     )
 
-    # triples_raw is already canonical and per-turn deduped (see
-    # extract_triples): the final stage only lays the table out —
-    # bucket by hash(conv_id), sort within partitions. No global
-    # distinct, no further joins.
+    linked = store.get_or_compute(
+        "linked",
+        lambda: link_mentions_per_turn(
+            mentions, dictionary, cfg, use_salting=use_salting,
+            entity_map=entity_map,
+        ),
+        resume=resume,
+        inputs=["mentions", "<dictionary>", "entity_map"],
+    )
+
+    # triples_raw is already canonical and per-turn deduped (ids were
+    # canonicalized inside the linked stage): the final stage only lays
+    # the table out — bucket by hash(conv_id), sort within partitions.
+    # No global distinct, no further joins.
     triples_raw = store.get_or_compute(
         "triples_raw",
-        lambda: extract_triples(ingest, linked, entity_map),
+        lambda: extract_triples(ingest, linked),
         resume=resume,
-        inputs=["ingest", "linked", "entity_map"],
+        inputs=["ingest", "linked"],
     )
 
     triples = store.get_or_compute(
@@ -417,4 +515,14 @@ def build_kg(
         partition_by=["bucket"],
         sort_within_partitions=["conv_id", "turn_idx"],
     )
-    return KgResult(triples, entity_map, linked, store)
+    # flat per-mention view of the per-turn linked stage (lazy explode)
+    linked_flat = linked.select(
+        "conv_id", "turn_idx", F.explode("ents").alias("e")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("e.ts").alias("start"),
+        F.col("e.te").alias("end"),
+        F.col("e.entity_id").alias("entity_id"),
+    )
+    return KgResult(triples, entity_map, linked_flat, store)

@@ -65,24 +65,31 @@ def _candidate_grams(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def _grams_native() -> Column:
-    """Unigram+bigram struct array from a ``_toks`` column, JVM-only.
+def _bigrams_native(bigram_first_tokens: list[str] | None = None) -> Column:
+    """Bigram struct array from a ``_toks`` column, JVM-only.
 
-    transform's index argument supplies positions; bigrams come from a
-    0..n-2 sequence so the whole expression stays in codegen.
+    ``bigram_first_tokens`` prunes candidate bigrams at the source: a
+    bigram is emitted only when its first token can start a multiword
+    dictionary alias. Multiword aliases are a small fraction of any real
+    entity dictionary, so unpruned bigram generation would DOUBLE the
+    mention stream — rows whose only fate is to miss the dictionary join
+    — and at corpus scale that doubling is pure shuffle/write bandwidth.
+    (For dictionaries whose first-token set is itself huge, swap the
+    literal array for a Bloom filter — the expression shape is the same.)
     """
-    uni = F.transform(
-        "_toks",
-        lambda x, i: F.struct(
-            x.alias("gram"),
-            i.cast("int").alias("start"),
-            i.cast("int").alias("end"),
-        ),
-    )
-    bi = F.when(
+    positions = F.sequence(F.lit(0), F.size("_toks") - 2)
+    if bigram_first_tokens is not None:
+        first_set = F.array(*[F.lit(t) for t in sorted(set(bigram_first_tokens))])
+        positions = F.filter(
+            positions,
+            lambda i: F.array_contains(
+                first_set, F.element_at(F.col("_toks"), i + 1)
+            ),
+        )
+    return F.when(
         F.size("_toks") >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - 2),
+            positions,
             lambda i: F.struct(
                 F.concat_ws(
                     " ",
@@ -94,13 +101,13 @@ def _grams_native() -> Column:
             ),
         ),
     ).otherwise(F.array().cast(f"array<{_GRAM_STRUCT}>"))
-    return F.concat(uni, bi)
 
 
 def detect_mentions(
     transcripts: DataFrame,
     impl: str = "native",
     keep_cols: tuple[str, ...] = (),
+    bigram_first_tokens: list[str] | None = None,
 ) -> DataFrame:
     """Explode each turn into candidate mention grams.
 
@@ -113,20 +120,41 @@ def detect_mentions(
     that would be a stateful stream-stream join).
     """
     if impl == "arrow":
-        exploded = transcripts.select(
+        g = transcripts.select(
             "conv_id",
             "turn_idx",
             *keep_cols,
             F.explode(_candidate_grams(F.col("text"))).alias("m"),
-        )
-    else:
-        exploded = transcripts.withColumn("_toks", tokens(F.col("text"))).select(
+        ).select(
             "conv_id",
             "turn_idx",
             *keep_cols,
-            F.explode(_grams_native()).alias("m"),
+            F.col("m.gram").alias("gram"),
+            F.col("m.start").alias("start"),
+            F.col("m.end").alias("end"),
         )
-    g = exploded.select(
+        return g.filter(~F.col("gram").isin(*STOP_GRAMS))
+
+    # native: ONE pass over the token array — tokenization (the regex
+    # split) is the dominant per-turn cost, so a two-branch
+    # unigram/bigram union that re-tokenizes the text measures ~3x
+    # slower end-to-end despite its prettier unigram plan.
+    uni = F.transform(
+        "_toks",
+        lambda x, i: F.struct(
+            x.alias("gram"),
+            i.cast("int").alias("start"),
+            i.cast("int").alias("end"),
+        ),
+    )
+    g = transcripts.withColumn("_toks", tokens(F.col("text"))).select(
+        "conv_id",
+        "turn_idx",
+        *keep_cols,
+        F.explode(
+            F.concat(uni, _bigrams_native(bigram_first_tokens))
+        ).alias("m"),
+    ).select(
         "conv_id",
         "turn_idx",
         *keep_cols,

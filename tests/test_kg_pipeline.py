@@ -125,3 +125,33 @@ def test_mentions_native_equals_arrow(spark):
     native = {tuple(r) for r in detect_mentions(tr, impl="native").collect()}
     arrow = {tuple(r) for r in detect_mentions(tr, impl="arrow").collect()}
     assert native == arrow and len(native) > 0
+
+
+def test_per_turn_linking_equals_flat_linking(spark):
+    """link_mentions_per_turn (fused, in-array span selection) must make
+    exactly the flat path's choices after canonical mapping."""
+    from prom_spark.datagen import entity_dictionary, synth_transcripts
+    from prom_spark.pipeline.kg import (
+        canonicalize_entities,
+        link_mentions,
+        link_mentions_per_turn,
+    )
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    tr = synth_transcripts(spark, n_convs=40, turns_per_conv=5, n_entities=48)
+    d = entity_dictionary(spark, 48).cache()
+    emap = canonicalize_entities(d).cache()
+    m = detect_mentions(tr)
+
+    flat = link_mentions(m, d).join(F.broadcast(emap), on="entity_id", how="left")
+    flat = {
+        (r.conv_id, r.turn_idx, r.start, r.end, r.canonical_id or r.entity_id)
+        for r in flat.collect()
+    }
+    fused = {
+        (r.conv_id, r.turn_idx, r.e.ts, r.e.te, r.e.entity_id)
+        for r in link_mentions_per_turn(m, d, entity_map=emap)
+        .select("conv_id", "turn_idx", F.explode("ents").alias("e"))
+        .collect()
+    }
+    assert fused == flat and len(fused) > 0
