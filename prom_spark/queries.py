@@ -53,11 +53,16 @@ def q01_lineitem_agg(spark, sf_dir):
     """A1/A5-family grouped aggregation (pushdown + partial agg)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_price"),
-        F.sum(
-            (F.col("l_extendedprice").cast("decimal(18,4)"))
-            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+        .alias("sum_price"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,4)"))
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).cast("double"),
+            2,
         ).alias("sum_disc_price"),
         F.count("*").alias("cnt"),
     )
@@ -65,9 +70,9 @@ def q01_lineitem_agg(spark, sf_dir):
 
 _Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-       sum(l_extendedprice::DECIMAL(18,4)) AS sum_price,
-       sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS sum_disc_price,
+       round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,4))::DOUBLE, 2) AS sum_price,
+       round(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE, 2) AS sum_disc_price,
        count(*) AS cnt
 FROM lineitem GROUP BY 1, 2
 """
@@ -87,9 +92,12 @@ def q02_region_revenue(spark, sf_dir):
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("r_name")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ).cast("double"),
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -98,7 +106,7 @@ def q02_region_revenue(spark, sf_dir):
 
 _Q02_SQL = """
 SELECT r_name,
-       sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS revenue,
+       round(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE, 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -700,13 +708,14 @@ def q20_events_hourly(spark, sf_dir):
         F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+        .alias("sum_value"),
     )
 
 
 _Q20_SQL = """
 SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
-       count(*) AS n, sum(value::DECIMAL(18,6)) AS sum_value
+       count(*) AS n, round(sum(value::DECIMAL(18,6))::DOUBLE, 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -745,7 +754,7 @@ s AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g)
-SELECT user_id, max(session_no) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_no) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY 1
 """
 
@@ -878,7 +887,7 @@ FROM sel WHERE rk = 1
 
 
 # --------------------------------------------------------------------------
-# non-SQL-expressible ops (rows-only driver check)
+# iterative ops under recursive-CTE oracles
 # --------------------------------------------------------------------------
 
 def q22_doc_components(spark, sf_dir):
@@ -891,6 +900,23 @@ def q22_doc_components(spark, sf_dir):
     return connected_components(pairs, "src", "dst")
 
 
+# DuckDB twin of large-star/small-star convergence: component = min node
+# reachable from each node (string-ordered, matching the Spark operator's
+# string-cast ids). min-reach enumeration is fine at oracle scale.
+_Q22_SQL = f"""
+WITH RECURSIVE p AS ({_Q13_SQL}),
+e0 AS (
+  SELECT d1::VARCHAR AS u, d2::VARCHAR AS v FROM p WHERE d1::VARCHAR != d2::VARCHAR),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+r(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, e.v FROM r JOIN edges e ON r.reach = e.u)
+SELECT node, min(reach) AS component FROM r GROUP BY node
+"""
+
+
 def q23_greedy_full(spark, sf_dir):
     """W1: full iterative greedy 1:1 selection over string-sim scores."""
     from prom_spark.operators.selection import greedy_one_to_one
@@ -899,6 +925,36 @@ def q23_greedy_full(spark, sf_dir):
     return greedy_one_to_one(
         scored, uid1_col="n_name", uid2_col="r_name", threshold=0.1
     )
+
+
+# DuckDB twin of the parallel locally-dominant matching: sequential greedy
+# under the SAME total order (rating desc, uid1, uid2) — provably identical
+# output — walked one edge per recursion step with list-accumulated taken
+# sets. Strictly-greater threshold matches enforce_threshold.
+_Q23_SQL = f"""
+WITH RECURSIVE scored AS (
+  SELECT * FROM ({_Q06_SQL}) WHERE rating > 0.1),
+ranked AS (
+  SELECT n_name, r_name, rating,
+         row_number() OVER (ORDER BY rating DESC, n_name, r_name) AS rk
+  FROM scored),
+g(rk, used1, used2, n_name, r_name, rating, sel) AS (
+  SELECT 0, []::VARCHAR[], []::VARCHAR[],
+         NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE, false
+  UNION ALL
+  SELECT s.rk,
+         CASE WHEN NOT list_contains(g.used1, s.n_name)
+                   AND NOT list_contains(g.used2, s.r_name)
+              THEN list_append(g.used1, s.n_name) ELSE g.used1 END,
+         CASE WHEN NOT list_contains(g.used1, s.n_name)
+                   AND NOT list_contains(g.used2, s.r_name)
+              THEN list_append(g.used2, s.r_name) ELSE g.used2 END,
+         s.n_name, s.r_name, s.rating,
+         (NOT list_contains(g.used1, s.n_name)
+          AND NOT list_contains(g.used2, s.r_name))
+  FROM g JOIN ranked s ON s.rk = g.rk + 1)
+SELECT n_name, r_name, rating FROM g WHERE sel
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -954,7 +1010,8 @@ def oracle_sql() -> dict[str, str]:
         "q19_fuzzy_link": _Q19_SQL,
         "q20_events_hourly": _Q20_SQL,
         "q21_sessionize": _Q21_SQL,
-        # q22/q23: iterative (CC, multi-round greedy) — rows-only check
+        "q22_doc_components": _Q22_SQL,
+        "q23_greedy_full": _Q23_SQL,
         "q24_mention_grams": _Q24_SQL,
         "q25_entity_linking": _Q25_SQL,
     }
