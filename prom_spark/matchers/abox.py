@@ -111,7 +111,7 @@ def _frag(col: str) -> F.Column:
     return F.substring_index(F.col(col), "#", -1)
 
 
-def abox_match(
+def abox_scores(
     individuals1: DataFrame,
     individuals2: DataFrame,
     prop_values1: DataFrame,
@@ -121,7 +121,7 @@ def abox_match(
     class_ax2: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """Full individual matching; returns selected (ind1, ind2, rating)."""
+    """Scored candidate pairs (ind1, ind2, rating) before 1:1 selection."""
     ab = cfg.abox
     aligned_classes = tbox_alignment.filter(
         (F.col("elem_type") == CLS) & F.col("relation").isin(*_POS_RELS)
@@ -151,11 +151,25 @@ def abox_match(
         .groupBy(F.col("subj").alias("ind2"), F.col("prop").alias("dp2"))
         .agg(F.sort_array(F.collect_list("obj")).alias("v2"))
     )
-    pair_dims = pairs.crossJoin(F.broadcast(dp_dims))
+    # populated (pair, dimension) cells ONLY: each side's value table is
+    # dimension-tagged (broadcast join against the tiny dim list), joined
+    # to the candidate pairs on its own individual key, and the two sides
+    # are merged full-outer on the dim key. The |pairs| x |dims| grid
+    # never materializes — the empty cells the old crossJoin generated
+    # and then null-filtered simply never exist, which is what lets the
+    # same code run at 10^9 individuals x dozens of aligned properties.
+    v1d = vals1.join(F.broadcast(dp_dims), on="dp1")
+    v2d = vals2.join(F.broadcast(dp_dims), on="dp2")
+    cells = (
+        pairs.join(v1d, on="ind1")
+        .join(
+            pairs.join(v2d, on="ind2"),
+            on=["ind1", "ind2", "dp1", "dp2"],
+            how="full_outer",
+        )
+    )
     dp_scored = (
-        pair_dims.join(vals1, on=["ind1", "dp1"], how="left")
-        .join(vals2, on=["ind2", "dp2"], how="left")
-        .filter(F.col("v1").isNotNull() | F.col("v2").isNotNull())
+        cells
         .withColumn(
             "b",
             F.when(F.col("v1").isNull() | F.col("v2").isNull(), F.lit(0.0))
@@ -197,13 +211,21 @@ def abox_match(
         )
 
     def op_component(deg1: DataFrame, deg2: DataFrame, out_name: str) -> DataFrame:
-        pd = pairs.crossJoin(F.broadcast(op_dims))
+        # same populated-cells-only shape as the DP scoring above
+        d1d = deg1.join(F.broadcast(op_dims), on="op1")
+        d2d = deg2.join(F.broadcast(op_dims), on="op2")
+        cells = (
+            pairs.join(d1d, on="ind1")
+            .join(
+                pairs.join(d2d, on="ind2"),
+                on=["ind1", "ind2", "op1", "op2"],
+                how="full_outer",
+            )
+        )
         return (
-            pd.join(deg1, on=["ind1", "op1"], how="left")
-            .join(deg2, on=["ind2", "op2"], how="left")
+            cells
             .withColumn("d1", F.coalesce(F.col("deg1"), F.lit(0)).cast("double"))
             .withColumn("d2", F.coalesce(F.col("deg2"), F.lit(0)).cast("double"))
-            .filter((F.col("d1") > 0) | (F.col("d2") > 0))
             .groupBy("ind1", "ind2")
             .agg(
                 F.count("*").alias("n"),
@@ -243,7 +265,7 @@ def abox_match(
         )
         .select("ind1", "ind2", "struct_rating")
     )
-    combined = (
+    return (
         name_scores.select("ind1", "ind2", "str_rating")
         .join(struct, on=["ind1", "ind2"], how="full_outer")
         .withColumn(
@@ -253,6 +275,24 @@ def abox_match(
         )
         .select("ind1", "ind2", "rating")
     )
+
+
+def abox_match(
+    individuals1: DataFrame,
+    individuals2: DataFrame,
+    prop_values1: DataFrame,
+    prop_values2: DataFrame,
+    tbox_alignment: DataFrame,
+    class_ax1: DataFrame,
+    class_ax2: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Full individual matching; returns selected (ind1, ind2, rating)."""
+    combined = abox_scores(
+        individuals1, individuals2, prop_values1, prop_values2,
+        tbox_alignment, class_ax1, class_ax2, cfg,
+    )
     return greedy_one_to_one(
-        combined, uid1_col="ind1", uid2_col="ind2", threshold=ab.overall_threshold
+        combined, uid1_col="ind1", uid2_col="ind2",
+        threshold=cfg.abox.overall_threshold,
     )

@@ -84,16 +84,28 @@ def _lloyd_centroids(
 
 
 def _assign(df: DataFrame, centroids: DataFrame, emb_col: str) -> DataFrame:
-    w = Window.partitionBy(*[c for c in df.columns]).orderBy(
-        F.col("_sim").desc(), F.col("cell")
+    """Nearest-centroid assignment as a pure projection.
+
+    Centroids are tiny by construction (n_cells rows), so they are
+    collected and inlined as literal arrays: assignment becomes map-side
+    whole-row expression work — no crossJoin, no shuffle, and no window
+    keyed on the embedding array (the previous plan partitioned by every
+    column of ``df``, making a wide array a shuffle key).
+    """
+    rows = centroids.collect()
+    if not rows:
+        return df.withColumn("cell", F.lit(0).cast("bigint"))
+    cands = F.array(
+        *[
+            F.struct(
+                (-cosine_sim(emb_col, F.array(*[F.lit(float(x)) for x in r.c])))
+                .alias("negsim"),
+                F.lit(r.cell).alias("cell"),
+            )
+            for r in rows
+        ]
     )
-    return (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine_sim(emb_col, "c"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_sim", "_rk", "c")
-    )
+    return df.withColumn("cell", F.array_min(cands)["cell"])
 
 
 def ivf_topk(

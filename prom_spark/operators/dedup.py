@@ -61,6 +61,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 100,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     token-set Jaccard.
@@ -68,9 +69,26 @@ def minhash_lsh_pairs(
     ``max_bucket`` skips degenerate buckets (all-similar corpora make
     banding quadratic); skipped volume is observable via
     ``lsh_bucket_stats``. Returns (id1, id2, jaccard).
+
+    ``tokens``: optional pre-tokenized (_id, tok) frame. The plan reads
+    the token relation three times (signatures + both sides of the
+    verification join); passing a materialized/cached frame here turns
+    those into three scans of a columnar table instead of three
+    tokenization passes over the raw text.
     """
     assert num_hashes % band_size == 0
-    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    toks = tokens if tokens is not None else _tokens(df, id_col, text_col)
+    sig = (
+        toks.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            *[
+                F.min(F.md5(F.concat(F.col("tok"), F.lit(f":{i}")))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .withColumnRenamed("_id", id_col)
+    )
     bands = sig.select(
         F.col(id_col).alias("_id"),
         "n_tok",
@@ -105,8 +123,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    t1 = _tokens(df, id_col, text_col).withColumnRenamed("_id", "id1")
-    t2 = _tokens(df, id_col, text_col).withColumnRenamed("_id", "id2")
+    t1 = toks.withColumnRenamed("_id", "id1")
+    t2 = toks.withColumnRenamed("_id", "id2")
     inter = (
         pairs.join(t1, on="id1")
         .join(t2, on=["id2", "tok"])
@@ -182,19 +200,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 def simhash_near_dupes(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
 ) -> DataFrame:
-    """Pairs whose SimHashes differ in <= max_hamming bits; candidates
-    blocked on hash halves (a pair within distance 2 over 16 bits shares
-    at least one untouched half for distance <= 1 per half; both halves
-    explored for completeness at distance 2)."""
+    """Pairs whose SimHashes differ in <= max_hamming bits.
+
+    Complete by the pigeonhole principle: candidates are blocked on
+    ``max_hamming + 1`` disjoint bit bands — a pair within distance d can
+    touch at most d bands, so with d+1 bands at least one band is
+    bit-identical on both sides and the pair lands in a shared bucket.
+    (Blocking on fewer bands than d+1 silently drops pairs whose
+    differing bits straddle every band.)
+    """
     s = simhash(df, id_col, text_col, bits)
-    half = bits // 2
+    n_bands = max_hamming + 1
+    assert n_bands <= bits, "need at least one bit per band"
+    sizes = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    starts = [1 + sum(sizes[:i]) for i in range(n_bands)]
     blocked = s.select(
         F.col(id_col).alias("_id"),
         "simhash",
         F.explode(
             F.array(
-                F.concat(F.lit("L:"), F.substring("simhash", 1, half)),
-                F.concat(F.lit("R:"), F.substring("simhash", half + 1, half)),
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"), F.substring("simhash", starts[i], sizes[i])
+                    )
+                    for i in range(n_bands)
+                ]
             )
         ).alias("blk"),
     )
@@ -221,55 +251,83 @@ def simhash_near_dupes(
     ).select("id1", "id2", "hamming")
 
 
+def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Full-dimension deterministic hyperplanes from md5 digests.
+
+    Each component is one byte of md5("plane:<p>:<block>") centered on 0,
+    so planes span the WHOLE embedding space (a low-dim plane subspace
+    cannot separate directions living in the remaining dimensions).
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        comps: list[float] = []
+        blk = 0
+        while len(comps) < dim:
+            digest = hashlib.md5(f"plane:{p}:{blk}".encode()).digest()
+            comps.extend(b / 255.0 - 0.5 for b in digest)
+            blk += 1
+        planes.append(comps[:dim])
+    return planes
+
+
 def embedding_near_dupes(
     df: DataFrame,
     id_col: str,
     emb_col: str,
     threshold: float = 0.95,
-    n_hyperplanes: int = 8,
+    band_planes: int = 4,
+    n_bands: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH bucketing.
+    """Embedding-cosine near-dup via banded random-hyperplane LSH.
 
-    Hyperplanes are deterministic hash embeddings of fixed seed strings;
-    candidates share the full sign signature (cos >= .95 pairs almost
-    always do at 8 planes), then exact cosine verifies.
+    Signatures are OR-ed over ``n_bands`` bands of ``band_planes`` sign
+    bits each: a candidate pair only needs ONE fully-matching band. At
+    cos = 0.95 (angle ~18.2 deg) a single plane agrees with p ~ 0.899,
+    so one band of 4 matches with ~0.65 — but 6 bands miss with only
+    (1-0.65)^6 ~ 0.002, i.e. recall ~ 0.998 (requiring ALL sign bits to
+    agree, as a single-band scheme does, would give ~0.43 recall).
+    Survivors are verified with exact cosine, so precision is exact.
     """
-    from prom_spark.functions.embedding import hash_embedding
-
     first = df.select(F.col(emb_col)).limit(1).collect()
     dim = len(first[0][0]) if first else 0
     if dim == 0:
         return df.sparkSession.createDataFrame(
             [], "id1 long, id2 long, cosine double"
         )
-    planes = [
-        [float(x) for x in row]
-        for row in df.sparkSession.range(n_hyperplanes)
-        .select(hash_embedding(F.concat(F.lit("plane:"), F.col("id")), dim=min(16, dim)).alias("p"))
-        .collect()
-        for row in [row.p]
-    ]
+    planes = _deterministic_planes(band_planes * n_bands, dim)
     e = df.select(F.col(id_col).alias("_id"), F.col(emb_col).cast("array<double>").alias("e"))
     sig = e
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in p])
         dot = F.aggregate(
-            F.zip_with(F.slice("e", 1, len(p)), arr, lambda x, y: x * y),
+            F.zip_with("e", arr, lambda x, y: x * y),
             F.lit(0.0),
             lambda a, x: a + x,
         )
         sig = sig.withColumn(f"b{i}", (dot > 0).cast("int"))
-    sig = sig.withColumn(
-        "bucket", F.concat_ws("", *[f"b{i}" for i in range(len(planes))])
-    ).select("_id", "e", "bucket")
+    band_keys = [
+        F.concat_ws(
+            "",
+            F.lit(f"{b}:"),
+            *[f"b{b * band_planes + j}" for j in range(band_planes)],
+        )
+        for b in range(n_bands)
+    ]
+    sig = sig.select(
+        "_id", "e", F.explode(F.array(*band_keys)).alias("bucket")
+    )
     pairs = (
         sig.alias("a")
         .join(sig.alias("b"), on="bucket")
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("b._id").alias("id2"),
-            cosine_sim(F.col("a.e"), F.col("b.e")).alias("cosine"),
-        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"),
+                F.col("a.e").alias("e1"), F.col("b.e").alias("e2"))
+        # dedup multi-band collisions on the id pair only — the embedding
+        # arrays ride along as first() payload, never as a shuffle key
+        .groupBy("id1", "id2")
+        .agg(F.first("e1").alias("e1"), F.first("e2").alias("e2"))
+        .select("id1", "id2", cosine_sim("e1", "e2").alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -29,20 +29,34 @@ def salted_join(
     n_salts: int = 8,
     hot_factor: float = 10.0,
     how: str = "inner",
+    hot_keys: list | DataFrame | None = None,
 ) -> DataFrame:
     """Join ``big ⋈ small on key`` with salting on detected hot keys.
 
-    Returns columns of both inputs (key once). The extra pass to detect
-    hot keys is a cheap partial-agg count on the big side; at 10^12 rows
-    you would feed a precomputed hot-key list instead — pass it via
-    ``hot_keys`` in the pipeline layer if known a priori.
+    Returns columns of both inputs (key once). Hot keys come from
+    ``hot_keys`` when supplied (a list of key values or a one-column
+    DataFrame) — the right call at 10^12 rows where the hot set is known
+    a priori (e.g. the dictionary's most-aliased entities); otherwise
+    they are detected with one partial-agg count pass over ``big``.
     """
-    counts = big.groupBy(key).agg(F.count("*").alias("_cnt"))
-    stats = counts.agg(F.avg("_cnt").alias("_mean")).collect()[0]
-    mean = stats._mean or 1.0
-    hot = counts.filter(F.col("_cnt") > hot_factor * mean).select(
-        key, F.lit(True).alias("_hot")
-    )
+    if hot_keys is not None:
+        if isinstance(hot_keys, DataFrame):
+            hot = hot_keys.select(
+                F.col(hot_keys.columns[0]).alias(key), F.lit(True).alias("_hot")
+            ).distinct()
+        else:
+            hot = (
+                big.sparkSession.createDataFrame([(k,) for k in hot_keys], [key])
+                .withColumn("_hot", F.lit(True))
+                .distinct()
+            )
+    else:
+        counts = big.groupBy(key).agg(F.count("*").alias("_cnt"))
+        stats = counts.agg(F.avg("_cnt").alias("_mean")).collect()[0]
+        mean = stats._mean or 1.0
+        hot = counts.filter(F.col("_cnt") > hot_factor * mean).select(
+            key, F.lit(True).alias("_hot")
+        )
 
     big_s = (
         big.join(F.broadcast(hot), on=key, how="left")

@@ -1,0 +1,630 @@
+"""DuckDB oracle twins for the golden-alignment chain (q26/q27).
+
+The label-analysis step is deterministic pure Python
+(``matchers.analysis.analyze_one``); its output over the 37 fixture
+labels is embedded as VALUES CTEs computed at import time from the same
+fixture lists the Spark side reads. Everything downstream — the lexical
+rule joins (reference src/compare_by_labels.py:139-344), the priority
+cascade, contradiction pruning (reference :346-375), and structural
+blending (reference src/compare_by_structure.py:466-488) — is
+INDEPENDENTLY re-expressed as ANSI SQL, so the driver's value-hash gate
+checks the Spark join/window/aggregation logic against a second
+implementation rather than against itself.
+
+Weight literals are computed through the same Python arithmetic as the
+Spark column expressions (e.g. ``0.3+0.3+0.3+0.1`` is embedded as its
+exact double ``repr``) so both engines divide by bit-identical values.
+"""
+
+from __future__ import annotations
+
+from prom_spark import fixtures
+from prom_spark.config import DEFAULT_CONFIG
+from prom_spark.matchers.analysis import analyze_one, normalize_label_py
+
+CLS = "owl:Class"
+OP = "owl:ObjectProperty"
+DP = "owl:DatatypeProperty"
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values(rows: list[tuple], cols: str, casts: str) -> str:
+    """Render rows as ``SELECT <casts> FROM (VALUES ...) AS t(<cols>)``."""
+    body = ",\n    ".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT {casts} FROM (VALUES\n    {body}) AS t({cols})"
+
+
+def _analyzed_rows(onto: str) -> tuple[list[tuple], list[tuple]]:
+    """(scalar rows, exploded lemma rows) for one fixture side."""
+    prefix = fixtures.A if onto == "a" else fixtures.B
+    scalars, lemma_rows = [], []
+    for (o, frag, elem_type, label) in fixtures._LABELS:
+        if o != onto:
+            continue
+        iri = prefix + frag
+        kept, n_tokens, passive = analyze_one(label, elem_type)
+        lemma_set = sorted({lem for (lem, _, _) in kept})
+        scalars.append(
+            (iri, elem_type, normalize_label_py(label), n_tokens, passive,
+             " ".join(lemma_set), len(lemma_set))
+        )
+        for seq, (lemma, pos, tag) in enumerate(kept):
+            lemma_rows.append(
+                (iri, elem_type, n_tokens, passive, len(lemma_set), seq,
+                 lemma, pos, tag)
+            )
+    return scalars, lemma_rows
+
+
+def _fixture_ctes() -> str:
+    """All VALUES CTEs: analyzed labels, alias dict, vocab, axiom scans."""
+    s1, l1 = _analyzed_rows("a")
+    s2, l2 = _analyzed_rows("fr")
+
+    an_cols = "iri, elem_type, norm_label, n_tokens, passive, lemma_key, set_size"
+    an_casts = ("iri::VARCHAR AS iri, elem_type::VARCHAR AS elem_type, "
+                "norm_label::VARCHAR AS norm_label, n_tokens::INT AS n_tokens, "
+                "passive::BOOLEAN AS passive, lemma_key::VARCHAR AS lemma_key, "
+                "set_size::INT AS set_size")
+    lem_cols = "iri, elem_type, n_tokens, passive, set_size, seq, lemma, pos, tag"
+    lem_casts = ("iri::VARCHAR AS iri, elem_type::VARCHAR AS elem_type, "
+                 "n_tokens::INT AS n_tokens, passive::BOOLEAN AS passive, "
+                 "set_size::INT AS set_size, seq::INT AS seq, "
+                 "lemma::VARCHAR AS lemma, pos::VARCHAR AS pos, tag::VARCHAR AS tag")
+
+    alias_rows: list[tuple] = []
+    for x, y in fixtures._SYN_PAIRS_N:
+        alias_rows += [(x, "NOUN", "syn", y), (y, "NOUN", "syn", x)]
+    for x, y in fixtures._SYN_PAIRS_V:
+        alias_rows += [(x, "VERB", "syn", y), (y, "VERB", "syn", x)]
+    for x, y in fixtures._ANT_PAIRS_V:
+        alias_rows.append((x, "VERB", "ant", y))
+    for n, v in fixtures._DRF_N2V:
+        alias_rows.append((n, "NOUN", "drf", v))
+    alias_rows = sorted(set(alias_rows))
+
+    vocab_rows = [
+        (term, sid)
+        for sid, synset in enumerate(fixtures.VOCAB_SYNSETS)
+        for term in synset
+    ]
+
+    def pfx(onto, frag):
+        return fixtures._prefix(onto, frag)
+
+    cls1 = [(pfx(o, s), r, pfx(o, p), pfx(o, ob))
+            for (o, s, r, p, ob) in fixtures._CLASS_AXIOMS if o == "a"]
+    cls2 = [(pfx(o, s), r, pfx(o, p), pfx(o, ob))
+            for (o, s, r, p, ob) in fixtures._CLASS_AXIOMS if o == "fr"]
+    clsax_cols = "subj, rel, prop, obj"
+    clsax_casts = ("subj::VARCHAR AS subj, rel::VARCHAR AS rel, "
+                   "prop::VARCHAR AS prop, obj::VARCHAR AS obj")
+
+    op1 = [(pfx(o, op), pfx(o, d), pfx(o, r), *flags)
+           for (o, op, d, r, *flags) in fixtures._OP_AXIOMS if o == "a"]
+    op2 = [(pfx(o, op), pfx(o, d), pfx(o, r), *flags)
+           for (o, op, d, r, *flags) in fixtures._OP_AXIOMS if o == "fr"]
+    opax_cols = "iri, dmn, rng, fn, invfn, sym, asym, trans, refl, irrefl"
+    opax_casts = ("iri::VARCHAR AS iri, dmn::VARCHAR AS dmn, rng::VARCHAR AS rng, "
+                  "fn::BOOLEAN AS fn, invfn::BOOLEAN AS invfn, "
+                  "sym::BOOLEAN AS sym, asym::BOOLEAN AS asym, "
+                  "trans::BOOLEAN AS trans, refl::BOOLEAN AS refl, "
+                  "irrefl::BOOLEAN AS irrefl")
+
+    dp1 = [(pfx(o, dp), pfx(o, d), r, *rest)
+           for (o, dp, d, r, *rest) in fixtures._DP_AXIOMS if o == "a"]
+    dp2 = [(pfx(o, dp), pfx(o, d), r, *rest)
+           for (o, dp, d, r, *rest) in fixtures._DP_AXIOMS if o == "fr"]
+    dpax_cols = "iri, dmn, rng, minin, maxin, minex, maxex, functional"
+    dpax_casts = ("iri::VARCHAR AS iri, dmn::VARCHAR AS dmn, rng::VARCHAR AS rng, "
+                  "minin::DOUBLE AS minin, maxin::DOUBLE AS maxin, "
+                  "minex::DOUBLE AS minex, maxex::DOUBLE AS maxex, "
+                  "functional::BOOLEAN AS functional")
+
+    return f"""
+an1s AS ({_values(s1, an_cols, an_casts)}),
+an2s AS ({_values(s2, an_cols, an_casts)}),
+lem1 AS ({_values(l1, lem_cols, lem_casts)}),
+lem2 AS ({_values(l2, lem_cols, lem_casts)}),
+aliases AS ({_values(alias_rows, "lemma, pos, rel, alias",
+                     "lemma::VARCHAR AS lemma, pos::VARCHAR AS pos, "
+                     "rel::VARCHAR AS rel, alias::VARCHAR AS alias")}),
+vocab AS ({_values(vocab_rows, "label, synset_id",
+                   "label::VARCHAR AS label, synset_id::INT AS synset_id")}),
+clsax1 AS ({_values(cls1, clsax_cols, clsax_casts)}),
+clsax2 AS ({_values(cls2, clsax_cols, clsax_casts)}),
+opax1 AS ({_values(op1, opax_cols, opax_casts)}),
+opax2 AS ({_values(op2, opax_cols, opax_casts)}),
+dpax1 AS ({_values(dp1, dpax_cols, dpax_casts)}),
+dpax2 AS ({_values(dp2, dpax_cols, dpax_casts)})"""
+
+
+def _reduce_vector_sql(src: str, out: str, tag: str) -> str:
+    """Twin of operators.contradictions.reduce_vector over CTE ``src``."""
+    return f"""
+{tag}_r1a AS (
+  SELECT elem_type, iri1, iri2, relation, rating FROM (
+    SELECT *, max(rating) OVER (PARTITION BY elem_type, iri1, iri2) AS pmax
+    FROM {src}) WHERE rating = pmax),
+{tag}_r1 AS (
+  SELECT elem_type, iri1, iri2, relation, rating FROM (
+    SELECT *, max(CASE WHEN relation = 'equivalence' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY elem_type, iri1, iri2) AS haseq
+    FROM {tag}_r1a)
+  WHERE NOT (haseq = 1 AND relation IN ('hyponym', 'hypernym'))),
+{tag}_r2 AS (
+  SELECT elem_type, iri1, iri2, relation, rating FROM (
+    SELECT *,
+      row_number() OVER (PARTITION BY elem_type, iri1
+                         ORDER BY rating DESC, iri1, iri2) AS rk1,
+      row_number() OVER (PARTITION BY elem_type, iri2
+                         ORDER BY rating DESC, iri1, iri2) AS rk2
+    FROM {tag}_r1 WHERE relation = 'equivalence')
+  WHERE rk1 = 1 AND rk2 = 1
+  UNION ALL
+  SELECT elem_type, iri1, iri2, relation, rating
+  FROM {tag}_r1 WHERE relation != 'equivalence'),
+{out} AS MATERIALIZED (
+  SELECT elem_type, iri1, iri2, relation, rating FROM (
+    SELECT *,
+      row_number() OVER (
+        PARTITION BY elem_type, iri1,
+                     CASE WHEN relation IN ('equivalence','hyponym') THEN 1 ELSE 2 END
+        ORDER BY rating DESC,
+                 CASE WHEN relation = 'equivalence' THEN 0 ELSE 1 END, iri2) AS rs1,
+      row_number() OVER (
+        PARTITION BY elem_type, iri2,
+                     CASE WHEN relation IN ('equivalence','hypernym') THEN 1 ELSE 2 END
+        ORDER BY rating DESC,
+                 CASE WHEN relation = 'equivalence' THEN 0 ELSE 1 END, iri1) AS rs2
+    FROM {tag}_r2)
+  WHERE NOT (relation = 'hyponym' AND rs1 > 1)
+    AND NOT (relation = 'hypernym' AND rs2 > 1))"""
+
+
+def _lexical_ctes() -> str:
+    """Twin of matchers.lexical.lexical_match -> CTE ``lex``."""
+    pri = DEFAULT_CONFIG.semantic
+    r_exp, r_dom, r_syn, r_ant = (
+        repr(pri.explicit), repr(pri.domain_specific),
+        repr(pri.implicit_syn), repr(pri.implicit_ant),
+    )
+    return f"""
+-- explicit: lemma-key equality + lemma-set containment
+x_eq AS (
+  SELECT a.elem_type, a.iri AS iri1, b.iri AS iri2,
+         'equivalence' AS relation, {r_exp} AS rating
+  FROM an1s a JOIN an2s b
+    ON a.elem_type = b.elem_type AND a.lemma_key = b.lemma_key
+   AND a.n_tokens = b.n_tokens AND a.passive IS NOT DISTINCT FROM b.passive),
+x_ov AS (
+  SELECT e1.elem_type, e1.iri AS iri1, e2.iri AS iri2,
+         e1.n_tokens AS nt1, e2.n_tokens AS nt2,
+         e1.set_size AS ss1, e2.set_size AS ss2, count(*) AS n_overlap
+  FROM (SELECT DISTINCT iri, elem_type, n_tokens, passive, set_size, lemma FROM lem1) e1
+  JOIN (SELECT DISTINCT iri, elem_type, n_tokens, passive, set_size, lemma FROM lem2) e2
+    ON e1.elem_type = e2.elem_type AND e1.lemma = e2.lemma
+  WHERE e1.passive IS NOT DISTINCT FROM e2.passive
+  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+x_sub AS (
+  SELECT elem_type, iri1, iri2, 'hyponym' AS relation, {r_exp} AS rating
+  FROM x_ov WHERE nt2 < nt1 AND n_overlap = ss2
+  UNION ALL
+  SELECT elem_type, iri1, iri2, 'hypernym', {r_exp}
+  FROM x_ov WHERE nt1 < nt2 AND n_overlap = ss1),
+-- implicit: domain-vocabulary synsets
+c_vocab AS (
+  SELECT v1.elem_type, v1.iri1, v2.iri2,
+         CASE WHEN v1.sid = v2.sid THEN 'equivalence' ELSE 'disjoint' END AS relation,
+         {r_dom} AS rating,
+         CASE WHEN v1.sid = v2.sid THEN 1 ELSE 2 END AS prio
+  FROM (SELECT a.iri AS iri1, a.elem_type, v.synset_id AS sid
+        FROM an1s a JOIN vocab v ON a.norm_label = v.label) v1
+  JOIN (SELECT b.iri AS iri2, b.elem_type, v.synset_id AS sid
+        FROM an2s b JOIN vocab v ON b.norm_label = v.label) v2
+    ON v1.elem_type = v2.elem_type),
+-- alias expansions (identity included for syn)
+syn1 AS (
+  SELECT DISTINCT l.iri, l.elem_type, a.alias, l.pos
+  FROM lem1 l JOIN aliases a ON a.rel = 'syn' AND a.lemma = l.lemma AND a.pos = l.pos
+  UNION
+  SELECT DISTINCT iri, elem_type, lemma AS alias, pos FROM lem1),
+syn2 AS (
+  SELECT DISTINCT l.iri, l.elem_type, a.alias, l.pos
+  FROM lem2 l JOIN aliases a ON a.rel = 'syn' AND a.lemma = l.lemma AND a.pos = l.pos
+  UNION
+  SELECT DISTINCT iri, elem_type, lemma AS alias, pos FROM lem2),
+ant1 AS (
+  SELECT DISTINCT l.iri, l.elem_type, a.alias, l.pos
+  FROM lem1 l JOIN aliases a ON a.rel = 'ant' AND a.lemma = l.lemma AND a.pos = l.pos),
+hype1 AS (
+  SELECT DISTINCT l.iri, l.elem_type, a.alias, l.pos
+  FROM lem1 l JOIN aliases a ON a.rel = 'hype' AND a.lemma = l.lemma AND a.pos = l.pos
+  UNION SELECT * FROM syn1),
+hype2 AS (
+  SELECT DISTINCT l.iri, l.elem_type, a.alias, l.pos
+  FROM lem2 l JOIN aliases a ON a.rel = 'hype' AND a.lemma = l.lemma AND a.pos = l.pos
+  UNION SELECT * FROM syn2),
+-- coverage: every (lemma, pos) of the target side appears in the expansion
+cov21 AS (
+  SELECT x.elem_type, x.iri AS iri1, t.iri AS iri2
+  FROM syn1 x JOIN (SELECT DISTINCT iri, elem_type, set_size, lemma, pos FROM lem2) t
+    ON x.elem_type = t.elem_type AND x.alias = t.lemma AND x.pos = t.pos
+  GROUP BY x.elem_type, x.iri, t.iri, t.set_size
+  HAVING count(DISTINCT t.lemma) = t.set_size),
+cov12 AS (
+  SELECT x.elem_type, t.iri AS iri1, x.iri AS iri2
+  FROM syn2 x JOIN (SELECT DISTINCT iri, elem_type, set_size, lemma, pos FROM lem1) t
+    ON x.elem_type = t.elem_type AND x.alias = t.lemma AND x.pos = t.pos
+  GROUP BY x.elem_type, x.iri, t.iri, t.set_size
+  HAVING count(DISTINCT t.lemma) = t.set_size),
+c_syneq AS (
+  SELECT c.elem_type, c.iri1, c.iri2, 'equivalence' AS relation,
+         {r_syn} AS rating, 3 AS prio
+  FROM cov21 c JOIN cov12 d USING (elem_type, iri1, iri2)
+  JOIN an1s s1 ON s1.iri = c.iri1
+  JOIN an2s s2 ON s2.iri = c.iri2
+  WHERE s1.passive IS NOT DISTINCT FROM s2.passive),
+-- OP features (first kept VERB lemma is the root verb)
+f1 AS (
+  SELECT l.iri, any_value(l.passive) AS passive, any_value(l.n_tokens) AS n_tokens,
+         count(*) FILTER (WHERE l.pos = 'VERB') AS n_verbs,
+         bool_or(l.pos = 'NOUN') AS has_noun,
+         min(CASE WHEN l.pos = 'VERB' THEN l.seq END) AS fv
+  FROM lem1 l WHERE l.elem_type = '{OP}' GROUP BY l.iri),
+f1r AS (
+  SELECT f.*, l.lemma AS root_verb
+  FROM f1 f LEFT JOIN lem1 l ON l.iri = f.iri AND l.seq = f.fv),
+f2 AS (
+  SELECT l.iri, any_value(l.passive) AS passive, any_value(l.n_tokens) AS n_tokens,
+         count(*) FILTER (WHERE l.pos = 'VERB') AS n_verbs,
+         bool_or(l.pos = 'NOUN') AS has_noun,
+         min(CASE WHEN l.pos = 'VERB' THEN l.seq END) AS fv
+  FROM lem2 l WHERE l.elem_type = '{OP}' GROUP BY l.iri),
+f2r AS (
+  SELECT f.*, l.lemma AS root_verb
+  FROM f2 f LEFT JOIN lem2 l ON l.iri = f.iri AND l.seq = f.fv),
+-- derivationally-related reified OPs, both orientations
+drf AS (SELECT lemma, alias FROM aliases WHERE rel = 'drf'),
+c_drf_12 AS (
+  SELECT '{OP}' AS elem_type, n.iri AS iri1, v.iri AS iri2,
+         CASE WHEN n.passive IS NOT DISTINCT FROM v.passive
+              THEN 'equivalence' ELSE 'inverse' END AS relation,
+         CASE WHEN n.passive IS NOT DISTINCT FROM v.passive
+              THEN {r_syn} ELSE {r_ant} END AS rating,
+         CASE WHEN n.passive IS NOT DISTINCT FROM v.passive THEN 4 ELSE 7 END AS prio
+  FROM (SELECT f.iri, f.passive, d.alias AS drf_verb
+        FROM f1r f JOIN lem1 l ON l.iri = f.iri AND l.pos = 'NOUN'
+        JOIN drf d ON d.lemma = l.lemma
+        WHERE f.has_noun AND f.n_verbs = 0) n
+  JOIN (SELECT iri, passive, root_verb FROM f2r
+        WHERE n_verbs > 0 AND NOT has_noun) v
+    ON n.drf_verb = v.root_verb),
+c_drf_21 AS (
+  SELECT '{OP}' AS elem_type, v.iri AS iri1, n.iri AS iri2,
+         CASE WHEN n.passive IS NOT DISTINCT FROM v.passive
+              THEN 'equivalence' ELSE 'inverse' END AS relation,
+         CASE WHEN n.passive IS NOT DISTINCT FROM v.passive
+              THEN {r_syn} ELSE {r_ant} END AS rating,
+         CASE WHEN n.passive IS NOT DISTINCT FROM v.passive THEN 4 ELSE 7 END AS prio
+  FROM (SELECT f.iri, f.passive, d.alias AS drf_verb
+        FROM f2r f JOIN lem2 l ON l.iri = f.iri AND l.pos = 'NOUN'
+        JOIN drf d ON d.lemma = l.lemma
+        WHERE f.has_noun AND f.n_verbs = 0) n
+  JOIN (SELECT iri, passive, root_verb FROM f1r
+        WHERE n_verbs > 0 AND NOT has_noun) v
+    ON n.drf_verb = v.root_verb),
+-- antonym disjoint for classes / DPs
+c_ant AS (
+  SELECT DISTINCT a.elem_type, a.iri AS iri1, t.iri AS iri2,
+         'disjoint' AS relation, {r_ant} AS rating, 5 AS prio
+  FROM ant1 a JOIN (SELECT DISTINCT iri, elem_type, lemma, pos FROM lem2) t
+    ON a.elem_type = t.elem_type AND a.alias = t.lemma AND a.pos = t.pos
+  WHERE a.elem_type IN ('{CLS}', '{DP}')),
+-- OP rules over root verbs
+f2root AS (SELECT * FROM f2r WHERE n_verbs = 1),
+c_opdis AS (
+  SELECT '{OP}' AS elem_type, a.iri AS iri1, f.iri AS iri2,
+         'disjoint' AS relation, {r_ant} AS rating, 6 AS prio
+  FROM ant1 a JOIN f2root f ON a.alias = f.root_verb
+  WHERE a.pos = 'VERB' AND a.elem_type = '{OP}'),
+c_opinv AS (
+  SELECT '{OP}' AS elem_type, s.iri AS iri1, f.iri AS iri2,
+         'inverse' AS relation, {r_ant} AS rating, 7 AS prio
+  FROM syn1 s JOIN f2root f ON s.alias = f.root_verb
+  JOIN f1r p ON p.iri = s.iri
+  WHERE s.pos = 'VERB' AND s.elem_type = '{OP}'
+    AND p.passive IS NOT NULL AND f.passive IS NOT NULL
+    AND p.passive != f.passive),
+-- implicit subsumption via hypernym+synonym coverage
+cov21h AS (
+  SELECT x.elem_type, x.iri AS iri1, t.iri AS iri2
+  FROM hype1 x JOIN (SELECT DISTINCT iri, elem_type, set_size, lemma, pos FROM lem2) t
+    ON x.elem_type = t.elem_type AND x.alias = t.lemma AND x.pos = t.pos
+  GROUP BY x.elem_type, x.iri, t.iri, t.set_size
+  HAVING count(DISTINCT t.lemma) = t.set_size),
+cov12h AS (
+  SELECT x.elem_type, t.iri AS iri1, x.iri AS iri2
+  FROM hype2 x JOIN (SELECT DISTINCT iri, elem_type, set_size, lemma, pos FROM lem1) t
+    ON x.elem_type = t.elem_type AND x.alias = t.lemma AND x.pos = t.pos
+  GROUP BY x.elem_type, x.iri, t.iri, t.set_size
+  HAVING count(DISTINCT t.lemma) = t.set_size),
+c_hsub AS (
+  SELECT c.elem_type, c.iri1, c.iri2, 'hyponym' AS relation,
+         {r_ant} AS rating, 8 AS prio
+  FROM cov21h c JOIN an1s s1 ON s1.iri = c.iri1 JOIN an2s s2 ON s2.iri = c.iri2
+  WHERE s2.n_tokens <= s1.n_tokens AND c.elem_type IN ('{CLS}', '{DP}')
+  UNION ALL
+  SELECT c.elem_type, c.iri1, c.iri2, 'hypernym', {r_ant}, 9
+  FROM cov12h c JOIN an1s s1 ON s1.iri = c.iri1 JOIN an2s s2 ON s2.iri = c.iri2
+  WHERE s1.n_tokens <= s2.n_tokens AND c.elem_type IN ('{CLS}', '{DP}')),
+imp AS (
+  SELECT elem_type, iri1, iri2, relation, rating FROM (
+    SELECT *, row_number() OVER (PARTITION BY elem_type, iri1, iri2 ORDER BY prio) AS rk
+    FROM (SELECT * FROM c_vocab UNION ALL SELECT * FROM c_syneq
+          UNION ALL SELECT * FROM c_drf_12 UNION ALL SELECT * FROM c_drf_21
+          UNION ALL SELECT * FROM c_ant UNION ALL SELECT * FROM c_opdis
+          UNION ALL SELECT * FROM c_opinv UNION ALL SELECT * FROM c_hsub))
+  WHERE rk = 1),
+lex0 AS (
+  SELECT * FROM x_eq UNION ALL SELECT * FROM x_sub UNION ALL SELECT * FROM imp),
+{_reduce_vector_sql("lex0", "lex", "lx")}"""
+
+
+def _structural_ctes() -> str:
+    """Twin of matchers.structural.structural_match over CTE ``lex``."""
+    st = DEFAULT_CONFIG.structural
+    op_denom = repr(st.op_attributes + st.op_domain + st.op_range)
+    dp_denom = repr(st.dp_interval + st.dp_domain + st.dp_range + st.dp_functional)
+    blend_denom = repr(st.sem_weight + st.struct_weight)
+    sw, tw = repr(st.sem_weight), repr(st.struct_weight)
+    # disjoint characteristic combos over
+    # [functional, inversefunctional, symmetric, asymmetric, transitive,
+    #  reflexive, irreflexive] (both orientations)
+    chars = ["fn", "invfn", "sym", "asym", "trans", "refl", "irrefl"]
+    combos = [(2, 3), (5, 6), (0, 4), (1, 4)]
+    dis_terms = " OR ".join(
+        f"(c1_{x} = 1.0 AND c2_{y} = 1.0) OR (c1_{y} = 1.0 AND c2_{x} = 1.0)"
+        for x, y in combos
+    )
+    c1_flags = ", ".join(
+        f"(CASE WHEN a1.{c} IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c1_{i}"
+        for i, c in enumerate(chars)
+    )
+    c2_flags = ", ".join(
+        f"(CASE WHEN a2.{c} IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c2_{i}"
+        for i, c in enumerate(chars)
+    )
+    dot = " + ".join(f"c1_{i} * c2_{i}" for i in range(7))
+    n1 = " + ".join(f"c1_{i} * c1_{i}" for i in range(7))
+    n2 = " + ".join(f"c2_{i} * c2_{i}" for i in range(7))
+
+    return f"""
+csc_pos AS (
+  SELECT DISTINCT iri1 AS c1, iri2 AS c2 FROM lex
+  WHERE elem_type = '{CLS}' AND rating >= {repr(st.class_sem_boundary)}
+    AND relation IN ('equivalence', 'hypernym', 'hyponym')),
+csc_dis AS (
+  SELECT DISTINCT iri1 AS c1, iri2 AS c2 FROM lex
+  WHERE elem_type = '{CLS}' AND rating >= {repr(st.class_sem_boundary)}
+    AND relation = 'disjoint'),
+-- OP structural scoring
+op_j AS (
+  SELECT m.iri1, m.iri2, m.relation, m.rating,
+         a1.dmn AS domain1, a1.rng AS range1, a2.dmn AS domain2, a2.rng AS range2,
+         {c1_flags}, {c2_flags}
+  FROM (SELECT * FROM lex WHERE elem_type = '{OP}'
+        AND relation IN ('equivalence', 'hypernym', 'hyponym')) m
+  LEFT JOIN opax1 a1 ON m.iri1 = a1.iri
+  LEFT JOIN opax2 a2 ON m.iri2 = a2.iri),
+op_s AS (
+  SELECT iri1, iri2, relation, rating,
+         ({dis_terms}) AS char_disjoint,
+         CASE WHEN ({n1}) = 0.0 AND ({n2}) = 0.0 THEN 1.0
+              WHEN ({n1}) = 0.0 OR ({n2}) = 0.0 THEN 0.0
+              ELSE ({dot}) / (sqrt({n1}) * sqrt({n2})) END AS attr_sim,
+         CASE WHEN dp1.c1 IS NOT NULL
+                   OR (domain1 IS NOT NULL AND domain1 = domain2)
+              THEN 'equivalence'
+              WHEN dd1.c1 IS NOT NULL THEN 'disjoint' END AS dom_rel,
+         CASE WHEN rp1.c1 IS NOT NULL
+                   OR (range1 IS NOT NULL AND range1 = range2)
+              THEN 'equivalence'
+              WHEN rd1.c1 IS NOT NULL THEN 'disjoint' END AS rng_rel
+  FROM op_j
+  LEFT JOIN csc_pos dp1 ON op_j.domain1 = dp1.c1 AND op_j.domain2 = dp1.c2
+  LEFT JOIN csc_dis dd1 ON op_j.domain1 = dd1.c1 AND op_j.domain2 = dd1.c2
+  LEFT JOIN csc_pos rp1 ON op_j.range1 = rp1.c1 AND op_j.range2 = rp1.c2
+  LEFT JOIN csc_dis rd1 ON op_j.range1 = rd1.c1 AND op_j.range2 = rd1.c2),
+op_scored AS (
+  SELECT '{OP}' AS elem_type, iri1, iri2, relation,
+         (rating * {sw} +
+          (CASE WHEN char_disjoint OR dom_rel = 'disjoint' OR rng_rel = 'disjoint'
+                THEN 0.0
+                ELSE (attr_sim * {repr(st.op_attributes)}
+                      + (CASE WHEN dom_rel = 'equivalence' THEN 1.0 ELSE 0.0 END) * {repr(st.op_domain)}
+                      + (CASE WHEN rng_rel = 'equivalence' THEN 1.0 ELSE 0.0 END) * {repr(st.op_range)})
+                     / {op_denom} END) * {tw}) / {blend_denom} AS rating
+  FROM op_s
+  UNION ALL
+  SELECT elem_type, iri1, iri2, relation, rating FROM lex
+  WHERE elem_type = '{OP}'
+    AND relation NOT IN ('equivalence', 'hypernym', 'hyponym')),
+-- DP structural scoring
+dp_j AS (
+  SELECT m.iri1, m.iri2, m.relation, m.rating,
+         a1.dmn AS domain1, a1.rng AS range1, a2.dmn AS domain2, a2.rng AS range2,
+         a1.minin AS minin1, a1.maxin AS maxin1, a1.minex AS minex1, a1.maxex AS maxex1,
+         a2.minin AS minin2, a2.maxin AS maxin2, a2.minex AS minex2, a2.maxex AS maxex2,
+         a1.functional AS functional1, a2.functional AS functional2
+  FROM (SELECT * FROM lex WHERE elem_type = '{DP}'
+        AND relation IN ('equivalence', 'hypernym', 'hyponym')) m
+  LEFT JOIN dpax1 a1 ON m.iri1 = a1.iri
+  LEFT JOIN dpax2 a2 ON m.iri2 = a2.iri),
+dp_iv AS (
+  SELECT *,
+         coalesce(minin1, minex1) AS lo1, coalesce(maxin1, maxex1) AS hi1,
+         coalesce(minin2, minex2) AS lo2, coalesce(maxin2, maxex2) AS hi2,
+         (minin1 IS NOT DISTINCT FROM minin2 AND maxin1 IS NOT DISTINCT FROM maxin2
+          AND minex1 IS NOT DISTINCT FROM minex2
+          AND maxex1 IS NOT DISTINCT FROM maxex2) AS bounds_equal
+  FROM dp_j),
+dp_iv2 AS (
+  SELECT *,
+         (lo1 IS NOT NULL AND hi1 IS NOT NULL) AS bounded1,
+         (lo2 IS NOT NULL AND hi2 IS NOT NULL) AS bounded2,
+         (lo1 IS NULL AND hi1 IS NULL) AS unbounded1,
+         (lo2 IS NULL AND hi2 IS NULL) AS unbounded2,
+         (lo1 IS NOT DISTINCT FROM lo2 AND hi1 IS NOT DISTINCT FROM hi2
+          AND NOT (lo1 IS NULL AND hi1 IS NULL AND lo2 IS NULL AND hi2 IS NULL)) AS iv_eq,
+         ((lo1 IS NOT NULL AND hi2 IS NOT NULL AND lo1 > hi2)
+          OR (hi1 IS NOT NULL AND lo2 IS NOT NULL AND lo2 > hi1)) AS proven_disjoint,
+         ((lo1 IS NOT NULL AND hi2 IS NOT NULL AND lo1 < hi2)
+          OR (hi1 IS NOT NULL AND lo2 IS NOT NULL AND lo2 < hi1)
+          OR (lo1 IS NOT NULL AND lo2 IS NOT NULL)
+          OR (hi1 IS NOT NULL AND hi2 IS NOT NULL)) AS half_touch,
+         ((lo1 IS NOT NULL AND lo2 IS NOT NULL AND lo1 = lo2)
+          OR (hi1 IS NOT NULL AND hi2 IS NOT NULL AND hi1 = hi2)) AS half_eq,
+         greatest(0.0, least(hi1, hi2) - greatest(lo1, lo2)) AS ovl,
+         greatest(hi1 - lo1, hi2 - lo2) AS span
+  FROM dp_iv),
+dp_s AS (
+  SELECT iri1, iri2, relation, rating, functional1, functional2,
+         CASE WHEN bounds_equal THEN {repr(st.interval_equivalence)}
+              ELSE CASE
+                WHEN iv_eq THEN {repr(st.interval_equivalence)}
+                WHEN unbounded1 AND unbounded2 THEN {repr(st.interval_equivalence)}
+                WHEN bounded1 AND bounded2 THEN
+                  CASE WHEN span = 0 THEN 0.0 ELSE ovl / span END
+                WHEN unbounded1 OR unbounded2 THEN 0.0
+                WHEN (NOT bounded1 AND NOT unbounded1)
+                     AND (NOT bounded2 AND NOT unbounded2) THEN
+                  CASE WHEN half_eq THEN {repr(st.interval_equivalence)}
+                       WHEN proven_disjoint THEN 0.0
+                       WHEN half_touch THEN {repr(st.interval_overlap)}
+                       ELSE 0.0 END
+                ELSE CASE WHEN proven_disjoint THEN 0.0
+                          WHEN (lo1 IS NOT NULL AND hi2 IS NOT NULL AND lo1 < hi2)
+                               OR (hi1 IS NOT NULL AND lo2 IS NOT NULL AND lo2 < hi1)
+                          THEN {repr(st.interval_overlap)}
+                          ELSE 0.0 END
+              END END AS iv_sim,
+         (NOT bounds_equal AND proven_disjoint AND NOT coalesce(iv_eq, FALSE)
+          AND NOT (bounded1 AND bounded2)) AS iv_disjoint,
+         CASE WHEN dpp.c1 IS NOT NULL
+                   OR (domain1 IS NOT NULL AND domain1 = domain2)
+              THEN 'equivalence'
+              WHEN dpd.c1 IS NOT NULL THEN 'disjoint' END AS dom_rel,
+         CASE WHEN rpp.c1 IS NOT NULL
+                   OR (range1 IS NOT NULL AND range1 = range2)
+              THEN 'equivalence'
+              WHEN rpd.c1 IS NOT NULL THEN 'disjoint' END AS rng_rel
+  FROM dp_iv2
+  LEFT JOIN csc_pos dpp ON dp_iv2.domain1 = dpp.c1 AND dp_iv2.domain2 = dpp.c2
+  LEFT JOIN csc_dis dpd ON dp_iv2.domain1 = dpd.c1 AND dp_iv2.domain2 = dpd.c2
+  LEFT JOIN csc_pos rpp ON dp_iv2.range1 = rpp.c1 AND dp_iv2.range2 = rpp.c2
+  LEFT JOIN csc_dis rpd ON dp_iv2.range1 = rpd.c1 AND dp_iv2.range2 = rpd.c2),
+dp_scored AS (
+  SELECT '{DP}' AS elem_type, iri1, iri2, relation,
+         (rating * {sw} +
+          (CASE WHEN dom_rel = 'disjoint' OR iv_disjoint THEN 0.0
+                ELSE (iv_sim * {repr(st.dp_interval)}
+                      + (CASE WHEN dom_rel = 'equivalence' THEN 1.0 ELSE 0.0 END) * {repr(st.dp_domain)}
+                      + (CASE WHEN rng_rel = 'equivalence' THEN 1.0 ELSE 0.0 END) * {repr(st.dp_range)}
+                      + (CASE WHEN functional1 IS NOT DISTINCT FROM TRUE
+                                   AND functional2 IS NOT DISTINCT FROM TRUE
+                              THEN 1.0 ELSE 0.0 END) * {repr(st.dp_functional)})
+                     / {dp_denom} END) * {tw}) / {blend_denom} AS rating
+  FROM dp_s
+  UNION ALL
+  SELECT elem_type, iri1, iri2, relation, rating FROM lex
+  WHERE elem_type = '{DP}'
+    AND relation NOT IN ('equivalence', 'hypernym', 'hyponym')),
+-- same-side duplicate pruning of the property vector
+pv0 AS MATERIALIZED (SELECT * FROM op_scored UNION ALL SELECT * FROM dp_scored),
+pv AS MATERIALIZED (
+  SELECT elem_type, iri1, iri2, relation, rating FROM (
+    SELECT *,
+      row_number() OVER (PARTITION BY elem_type, relation, iri1
+                         ORDER BY rating DESC, iri1, iri2) AS k1,
+      row_number() OVER (PARTITION BY elem_type, relation, iri2
+                         ORDER BY rating DESC, iri1, iri2) AS k2
+    FROM pv0 WHERE relation NOT IN ('hypernym', 'hyponym', 'disjoint'))
+  WHERE k1 = 1 AND k2 = 1
+  UNION ALL
+  SELECT elem_type, iri1, iri2, relation, rating FROM (
+    SELECT *, row_number() OVER (PARTITION BY elem_type, relation, iri1, iri2
+                                 ORDER BY rating DESC) AS k
+    FROM pv0 WHERE relation IN ('hypernym', 'hyponym', 'disjoint'))
+  WHERE k = 1),
+-- class participation vectors over positive property dimensions
+dims AS (
+  SELECT DISTINCT iri1 AS prop1, iri2 AS prop2, relation AS dim_rel FROM pv
+  WHERE relation IN ('equivalence', 'hypernym', 'hyponym')),
+mem1 AS (
+  SELECT DISTINCT m.cls1, d.prop1, d.prop2, d.dim_rel, m.case_
+  FROM (SELECT subj AS cls1, prop, 0 AS case_ FROM clsax1 WHERE prop IS NOT NULL
+        UNION ALL
+        SELECT obj, prop, 1 FROM clsax1
+        WHERE obj IS NOT NULL AND prop IS NOT NULL) m
+  JOIN dims d ON m.prop = d.prop1),
+mem2 AS (
+  SELECT DISTINCT m.cls2, d.prop1, d.prop2, d.dim_rel, m.case_
+  FROM (SELECT subj AS cls2, prop, 0 AS case_ FROM clsax2 WHERE prop IS NOT NULL
+        UNION ALL
+        SELECT obj, prop, 1 FROM clsax2
+        WHERE obj IS NOT NULL AND prop IS NOT NULL) m
+  JOIN dims d ON m.prop = d.prop2),
+possim_t AS (
+  SELECT b.cls1 AS iri1, b.cls2 AS iri2,
+         b.n_both / greatest(1, s1.n1 + s2.n2 - b.n_both)::DOUBLE AS possim
+  FROM (SELECT m1.cls1, m2.cls2, count(*) AS n_both
+        FROM mem1 m1 JOIN mem2 m2 USING (prop1, prop2, dim_rel, case_)
+        GROUP BY 1, 2) b
+  JOIN (SELECT cls1, count(*) AS n1 FROM mem1 GROUP BY 1) s1 ON b.cls1 = s1.cls1
+  JOIN (SELECT cls2, count(*) AS n2 FROM mem2 GROUP BY 1) s2 ON b.cls2 = s2.cls2),
+struct_rows AS (
+  SELECT '{CLS}' AS elem_type, iri1, iri2, r.relation, possim
+  FROM possim_t CROSS JOIN (
+    SELECT unnest(['equivalence', 'hypernym', 'hyponym']) AS relation) r),
+sem_rows AS (
+  SELECT elem_type, iri1, iri2, relation, rating AS sem FROM lex
+  WHERE elem_type = '{CLS}'),
+cls_comb AS (
+  SELECT elem_type, iri1, iri2, relation,
+         (coalesce(sem, 0.0) * {sw}
+          + (CASE WHEN relation IN ('equivalence', 'hypernym', 'hyponym')
+                  THEN coalesce(possim, 0.0) ELSE 0.0 END) * {tw})
+         / {blend_denom} AS rating
+  FROM struct_rows FULL OUTER JOIN sem_rows
+  USING (elem_type, iri1, iri2, relation)),
+sm0 AS (
+  SELECT * FROM pv UNION ALL SELECT * FROM cls_comb),
+sm1 AS (SELECT * FROM sm0 WHERE rating > 0.01),
+{_reduce_vector_sql("sm1", "smr", "sm")}"""
+
+
+def q26_sql() -> str:
+    return f"""
+WITH {_fixture_ctes()},
+{_lexical_ctes()}
+SELECT elem_type, iri1, iri2, relation, round(rating, 6) AS rating FROM lex
+"""
+
+
+def q27_sql() -> str:
+    return f"""
+WITH {_fixture_ctes()},
+{_lexical_ctes()},
+{_structural_ctes()}
+SELECT elem_type, iri1, iri2, relation, round(rating, 6) AS rating FROM smr
+"""

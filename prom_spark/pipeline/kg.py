@@ -56,6 +56,7 @@ def _link_candidates(
     dictionary: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     use_salting: bool | None = None,
+    hot_keys=None,
 ) -> DataFrame:
     """Scored link candidates per mention occurrence (pre-selection).
 
@@ -84,6 +85,7 @@ def _link_candidates(
             key="gram",
             n_salts=cfg.hot_key_salts,
             hot_factor=cfg.hot_key_factor,
+            hot_keys=hot_keys,
         )
         if use_salting
         else mentions.join(
@@ -143,6 +145,7 @@ def link_mentions(
     dictionary: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     use_salting: bool | None = None,
+    hot_keys=None,
 ) -> DataFrame:
     """Entity-link scoring + per-span selection, flat output
     (north_star stage 3; see ``_link_candidates`` for the join design).
@@ -152,7 +155,7 @@ def link_mentions(
     Within a span key the gram is fixed, so selection = max rating,
     ties to the smallest entity_id.
     """
-    candidates = _link_candidates(mentions, dictionary, cfg, use_salting)
+    candidates = _link_candidates(mentions, dictionary, cfg, use_salting, hot_keys)
     return best_candidate_per_left_agg(
         candidates,
         key_cols=["conv_id", "turn_idx", "start", "end"],
@@ -172,6 +175,7 @@ def link_mentions_per_turn(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     use_salting: bool | None = None,
     entity_map: DataFrame | None = None,
+    hot_keys=None,
 ) -> DataFrame:
     """Entity linking straight to per-turn entity arrays — the fused
     form ``build_kg`` uses.
@@ -189,7 +193,7 @@ def link_mentions_per_turn(
     single box that table's movement is pure memory-bandwidth cost, and
     on a cluster it is a full extra exchange of the largest intermediate.
     """
-    cand = _link_candidates(mentions, dictionary, cfg, use_salting).filter(
+    cand = _link_candidates(mentions, dictionary, cfg, use_salting, hot_keys).filter(
         F.col("rating") > cfg.link_threshold
     )
     if entity_map is not None:
@@ -247,8 +251,7 @@ def extract_triples(
     The previous formulation (three position-equi-joins + two windows +
     two global distincts over the full mention table) spent ~6 shuffles
     on what one groupBy expresses; at 10^12 turns those exchanges are the
-    whole cost. (``mentions`` is accepted for API compatibility; the
-    predicate scan replaces it.)
+    whole cost.
 
     Cross-turn `follows` edges use a (conv_id)-partitioned window over
     the per-turn rows, ordered by turn_idx — the stable-ordering
@@ -441,8 +444,15 @@ def build_kg(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     resume: bool = True,
     use_salting: bool = True,
+    hot_keys=None,
 ) -> KgResult:
-    """Run (or resume) the full pipeline, checkpointing every stage."""
+    """Run (or resume) the full pipeline, checkpointing every stage.
+
+    ``hot_keys``: optional precomputed hot-alias list (or one-column
+    DataFrame) for the salted mention⋈dictionary join — skips the
+    detection count pass over the mention stream when the hot set is
+    known a priori.
+    """
     store = StageStore(spark, base_dir)
 
     ingest = store.get_or_compute(
@@ -486,7 +496,7 @@ def build_kg(
         "linked",
         lambda: link_mentions_per_turn(
             mentions, dictionary, cfg, use_salting=use_salting,
-            entity_map=entity_map,
+            entity_map=entity_map, hot_keys=hot_keys,
         ),
         resume=resume,
         inputs=["mentions", "<dictionary>", "entity_map"],

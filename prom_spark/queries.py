@@ -957,6 +957,70 @@ SELECT n_name, r_name, rating FROM g WHERE sel
 """
 
 
+# --------------------------------------------------------------------------
+# golden-alignment chain under the oracle gate (fixture-driven; sf-independent)
+# --------------------------------------------------------------------------
+
+def _fixture_sides(spark):
+    from prom_spark import fixtures
+    from prom_spark.matchers.analysis import analyze_labels
+
+    # eager single-partition checkpoints: the lexical cascade references
+    # each side a dozen times; without this every rule branch re-runs the
+    # analysis UDF and its shuffle (fixture is 37 rows — one partition)
+    labels = fixtures.onto_labels(spark)
+    return (
+        analyze_labels(labels.filter(F.col("onto") == "a"))
+        .coalesce(1).localCheckpoint(eager=True),
+        analyze_labels(labels.filter(F.col("onto") == "fr"))
+        .coalesce(1).localCheckpoint(eager=True),
+    )
+
+
+def q26_lexical_align(spark, sf_dir):
+    """J1/J2/A7 + X-family: full lexical match vector over the reference
+    fixture ontologies (explicit + implicit rules, contradiction-pruned).
+    Oracle: independent SQL re-expression in oracle_golden.q26_sql."""
+    from prom_spark import fixtures
+    from prom_spark.matchers.lexical import lexical_match
+
+    an1, an2 = _fixture_sides(spark)
+    m = lexical_match(
+        an1, an2, fixtures.alias_dictionary(spark), fixtures.domain_vocabulary(spark)
+    )
+    return m.select(
+        "elem_type", "iri1", "iri2", "relation",
+        F.round("rating", 6).alias("rating"),
+    )
+
+
+def q27_structural_blend(spark, sf_dir):
+    """J5/J6/J9 + A8 + X11-X13: semi-mode structural blending of the
+    lexical vector (OP/DP axiom scoring, class participation vectors,
+    50/50 semantic+structural combine, contradiction-pruned)."""
+    from prom_spark import fixtures
+    from prom_spark.matchers.lexical import lexical_match
+    from prom_spark.matchers.structural import structural_match
+
+    an1, an2 = _fixture_sides(spark)
+    sem = lexical_match(
+        an1, an2, fixtures.alias_dictionary(spark), fixtures.domain_vocabulary(spark)
+    ).coalesce(1).localCheckpoint(eager=True)
+    rated = structural_match(
+        sem,
+        fixtures.class_axioms(spark).filter(F.col("onto") == "a"),
+        fixtures.class_axioms(spark).filter(F.col("onto") == "fr"),
+        fixtures.op_axioms(spark).filter(F.col("onto") == "a"),
+        fixtures.op_axioms(spark).filter(F.col("onto") == "fr"),
+        fixtures.dp_axioms(spark).filter(F.col("onto") == "a"),
+        fixtures.dp_axioms(spark).filter(F.col("onto") == "fr"),
+    )
+    return rated.select(
+        "elem_type", "iri1", "iri2", "relation",
+        F.round("rating", 6).alias("rating"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -984,10 +1048,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_greedy_full": q23_greedy_full,
         "q24_mention_grams": q24_mention_grams,
         "q25_entity_linking": q25_entity_linking,
+        "q26_lexical_align": q26_lexical_align,
+        "q27_structural_blend": q27_structural_blend,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from prom_spark.oracle_golden import q26_sql as _q26_sql, q27_sql as _q27_sql
+
     return {
         "q01_lineitem_agg": _Q01_SQL,
         "q02_region_revenue": _Q02_SQL,
@@ -1014,4 +1082,6 @@ def oracle_sql() -> dict[str, str]:
         "q23_greedy_full": _Q23_SQL,
         "q24_mention_grams": _Q24_SQL,
         "q25_entity_linking": _Q25_SQL,
+        "q26_lexical_align": _q26_sql(),
+        "q27_structural_blend": _q27_sql(),
     }

@@ -8,7 +8,7 @@ import math
 import pytest
 
 from prom_spark import fixtures
-from prom_spark.matchers.abox import abox_match, subclass_closure
+from prom_spark.matchers.abox import abox_match, abox_scores, subclass_closure
 from prom_spark.pipeline.tbox import OntologyTables, align_tbox
 
 
@@ -77,3 +77,23 @@ def test_blocking_excludes_subclass_owned(spark, abox_selection):
     itself aligned (car = voiture), so mm1 only pairs with aa5."""
     mm1 = [r for r in abox_selection if r.ind1.endswith("#mm1")]
     assert len(mm1) == 1 and mm1[0].ind2.endswith("#aa5")
+
+
+def test_abox_plan_has_no_pair_dims_expansion(spark, tbox_alignment):
+    """The dp/op scoring must never build the |pairs| x |dims| grid: the
+    physical plan may contain no cartesian/nested-loop join (the only way
+    an unkeyed pairs x dims product can execute)."""
+    inds = fixtures.individuals(spark)
+    pvs = fixtures.prop_values(spark)
+    out = abox_scores(
+        inds.filter("onto = 'a'"),
+        inds.filter("onto = 'fr'"),
+        pvs.filter("onto = 'a'"),
+        pvs.filter("onto = 'fr'"),
+        tbox_alignment,
+        fixtures.class_axioms(spark).filter("onto = 'a'"),
+        fixtures.class_axioms(spark).filter("onto = 'fr'"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -130,6 +130,66 @@ def test_ivf_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_simhash_blocking_complete(spark):
+    """Blocked candidate generation must equal unblocked all-pairs
+    filtering — including pairs whose differing bits straddle blocks
+    (the pigeonhole guarantee of max_hamming + 1 bands)."""
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(30)]
+    corpus = [
+        (i, " ".join(rng.sample(words, 8))) for i in range(24)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    for max_h in (1, 2, 3):
+        sh = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+        want = {
+            (a, b): sum(x != y for x, y in zip(sh[a], sh[b]))
+            for a, b in itertools.combinations(sorted(sh), 2)
+            if sum(x != y for x, y in zip(sh[a], sh[b])) <= max_h
+        }
+        got = {
+            (r.id1, r.id2): r.hamming
+            for r in simhash_near_dupes(df, "doc_id", "text", max_hamming=max_h).collect()
+        }
+        assert got == want, (max_h, want.keys() - got.keys())
+
+
+def test_embedding_near_dupes_recall(spark):
+    """Measured recall of banded hyperplane LSH vs brute-force cosine:
+    >= 0.95 of true cos >= 0.95 pairs must survive bucketing."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = []
+    for v in base:
+        vecs.append(v)
+        # twin at cosine ~0.95-0.999 (unit noise scaled to 0.05-0.3)
+        noise = rng.randn(32)
+        noise = noise / np.linalg.norm(noise) * rng.uniform(0.05, 0.3)
+        t = v + noise
+        vecs.append(t / np.linalg.norm(t))
+    vecs = np.array(vecs)
+    n = len(vecs)
+    sims = vecs @ vecs.T
+    want = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= 0.95
+    }
+    assert len(want) >= 20  # enough true pairs for a meaningful recall
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id1, r.id2)
+        for r in embedding_near_dupes(df, "vec_id", "embedding", 0.95).collect()
+    }
+    assert got <= want  # exact-cosine verification: no false positives
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, (recall, len(want))
+
+
 def test_embedding_near_dupes(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
