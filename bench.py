@@ -98,6 +98,14 @@ def main() -> None:
     n_triples = result.store.metrics("triples")["rows"]
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
+    # per-stage wall time from the checkpoint metrics (compute + write):
+    # the scaling harness uses these for per-stage efficiency attribution
+    stage_sec = {}
+    for st in ("ingest", "mentions", "entity_map", "linked", "triples_raw", "triples"):
+        try:
+            stage_sec[st] = result.store.metrics(st)["duration_sec"]
+        except FileNotFoundError:
+            pass
     shutil.rmtree(base, ignore_errors=True)
     if "spark.local.dir" in extra:
         shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
@@ -116,6 +124,7 @@ def main() -> None:
                 "kg_sec": round(kg_sec, 3),
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+                "kg_stage_sec": stage_sec,
                 "cpus": cpus,
             }
         )

@@ -51,30 +51,58 @@ def find_conflicts(
 
 
 def drop_conflicting_equivalences(
-    equivalences: DataFrame, disjoints: DataFrame
+    equivalences: DataFrame, disjoints: DataFrame, max_rounds: int = 10
 ) -> DataFrame:
-    """Repair: remove every equivalence edge inside a conflicted cluster
-    that is weaker than the strongest disjoint assertion there.
+    """Repair to a FIXPOINT: returns equivalences with no remaining
+    conflict against ``disjoints``.
 
-    Deterministic automated stand-in for the reference's interactive
-    debug loop; returns the surviving equivalence matches.
+    Each round removes, inside every conflicted cluster, the equivalence
+    edges weaker than the strongest disjoint assertion there; when no
+    edge is that weak (two strong edges bridging the disjoint endpoints
+    through a middle node), the round instead removes the cluster's
+    single weakest edge — so every round removes at least one edge per
+    conflicted cluster and the loop terminates. Deterministic automated
+    stand-in for the reference's interactive debug loop.
     """
-    conflicts = find_conflicts(equivalences, disjoints)
-    bad = conflicts.groupBy("component").agg(
-        F.max("rating").alias("_disj_rating")
-    )
-    cc = _clusters(equivalences)
-    e = (
-        equivalences.join(
-            cc.select(F.col("node").alias("iri1"), F.col("component")),
-            on="iri1",
-            how="left",
+    from pyspark.sql import Window
+
+    e = equivalences
+    for _ in range(max_rounds):
+        conflicts = find_conflicts(e, disjoints)
+        if conflicts.isEmpty():
+            break
+        bad = conflicts.groupBy("component").agg(
+            F.max("rating").alias("_disj_rating")
         )
-        .join(F.broadcast(bad), on="component", how="left")
-        .filter(
-            F.col("_disj_rating").isNull()
-            | (F.col("rating") > F.col("_disj_rating"))
+        cc = _clusters(e)
+        w_cluster = Window.partitionBy("component")
+        w_rank = Window.partitionBy("component").orderBy(
+            F.col("rating").asc(), F.col("iri1"), F.col("iri2")
         )
-        .drop("component", "_disj_rating")
-    )
+        tagged = (
+            e.join(
+                cc.select(F.col("node").alias("iri1"), F.col("component")),
+                on="iri1",
+                how="left",
+            )
+            .join(F.broadcast(bad), on="component", how="left")
+            .withColumn(
+                "_below",
+                F.max((F.col("rating") <= F.col("_disj_rating")).cast("int")).over(
+                    w_cluster
+                ),
+            )
+            .withColumn("_rk", F.row_number().over(w_rank))
+        )
+        e = (
+            tagged.filter(
+                F.col("_disj_rating").isNull()
+                | (
+                    (F.col("rating") > F.col("_disj_rating"))
+                    & ~((F.col("_below") == 0) & (F.col("_rk") == 1))
+                )
+            )
+            .drop("component", "_disj_rating", "_below", "_rk")
+            .localCheckpoint(eager=True)
+        )
     return e

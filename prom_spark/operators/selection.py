@@ -152,9 +152,13 @@ def optimal_one_to_one(
                     keep.append(r)
             return pd.DataFrame(keep, columns=pdf.columns)[list(cols) + ["_block"]]
 
+        # upper bound must never underestimate: negative-rated edges can
+        # only lower the sum, so they contribute 0 to the remaining-gain
+        # bound (a plain suffix sum would prune the true optimum when
+        # ratings go negative)
         suffix = [0.0] * (len(rows) + 1)
         for i in range(len(rows) - 1, -1, -1):
-            suffix[i] = suffix[i + 1] + rows[i][rating_col]
+            suffix[i] = suffix[i + 1] + max(rows[i][rating_col], 0.0)
         best_sum = -1.0
         best: list[int] = []
 

@@ -24,11 +24,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime classes are on the JVM classpath.
+
+    Must use ``Class.forName``: attribute access on ``spark._jvm`` never
+    fails for missing classes (py4j returns a truthy ``JavaPackage``).
+    """
     try:
-        spark._jvm.org.apache.iceberg.Schema  # type: ignore[attr-defined]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[attr-defined]
+            "org.apache.iceberg.Schema"
+        )
         return True
     except Exception:
         return False
+
+
+def write_iceberg(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 32,
+) -> None:
+    """Bucketed Iceberg table write (north_rule sink: triples + canonical
+    mapping "into Iceberg, partitioned by hash(conv_id)").
+
+    ``df.writeTo(table).partitionedBy(bucket(N, col))`` is Iceberg's
+    native hash-bucket transform — the cluster-side equivalent of the
+    parquet fallback's explicit pmod-bucket column (reference sink
+    analogue: src/create_link_onto.py:72-95). Requires the Iceberg
+    runtime jar + a configured catalog; callers probe
+    ``iceberg_available`` first (StageStore falls back to parquet and
+    records why).
+    """
+    from pyspark.sql.functions import bucket, col
+
+    writer = df.writeTo(table).using("iceberg")
+    if bucket_col in df.columns:
+        writer = writer.partitionedBy(bucket(n_buckets, col(bucket_col)))
+    writer.createOrReplace()
 
 
 @dataclass
@@ -79,6 +111,14 @@ class StageStore:
         out = df
         if sort_within_partitions:
             out = out.sortWithinPartitions(*sort_within_partitions)
+        iceberg_note = None
+        if iceberg_available(self.spark):
+            # cluster path: bucketed Iceberg table per stage
+            try:
+                write_iceberg(out, f"prom.stages.{stage}")
+                iceberg_note = f"prom.stages.{stage}"
+            except Exception as e:  # no catalog configured, etc.
+                iceberg_note = f"fallback-parquet ({type(e).__name__})"
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -97,6 +137,13 @@ class StageStore:
         # On a real cluster the same numbers come from the write
         # committer's task stats; footers are the portable equivalent.
         per_part = self._footer_counts(path)
+        if not per_part:
+            # non-local storage (hdfs://, s3a://) is invisible to os.walk;
+            # fall back to a Spark-side count rather than silently
+            # recording rows=0 for a non-empty stage
+            n = persisted.count()
+            if n > 0:
+                per_part = [{"partition": 0, "file": None, "rows": int(n)}]
         metrics = {
             "stage": stage,
             "rows": int(sum(p["rows"] for p in per_part)),
@@ -106,6 +153,8 @@ class StageStore:
             "inputs": inputs or [],
             "duration_sec": round(time.time() - t0, 3),
         }
+        if iceberg_note:
+            metrics["iceberg"] = iceberg_note
         with open(os.path.join(self._dir(stage), "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=1)
         self.lineage[stage] = inputs or []

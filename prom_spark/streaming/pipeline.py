@@ -77,21 +77,36 @@ def run_streaming_kg(
     dictionary: DataFrame,
     output_dir: str,
     checkpoint_dir: str,
+    entity_map: DataFrame | None = None,
 ) -> None:
     """Micro-batch KG construction: each batch runs the batch linking +
     triple extraction (foreachBatch), appending to the triple table.
     availableNow trigger: drains all pending files then stops — the
-    deterministic test/batch-backfill mode."""
+    deterministic test/batch-backfill mode.
+
+    Canonicalization state is CROSS-batch: the dictionary-derived
+    ``entity_map`` (computed once, broadcast into every micro-batch)
+    maps entity ids to canonical cluster ids inside ``extract_triples``,
+    so streamed triples are canonical exactly like batch triples.
+    """
     from prom_spark.config import DEFAULT_CONFIG
-    from prom_spark.pipeline.kg import extract_triples, link_mentions
+    from prom_spark.pipeline.kg import (
+        canonicalize_entities,
+        extract_triples,
+        link_mentions,
+    )
     from prom_spark.pipeline.mentions import detect_mentions
+
+    if entity_map is None:
+        entity_map = canonicalize_entities(dictionary)
+    entity_map = entity_map.localCheckpoint(eager=True)
 
     stream = stream_transcripts(spark, input_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         mentions = detect_mentions(batch)
         linked = link_mentions(mentions, dictionary, DEFAULT_CONFIG, use_salting=False)
-        triples = extract_triples(batch, linked)
+        triples = extract_triples(batch, linked, entity_map=entity_map)
         triples.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             output_dir
         )

@@ -106,3 +106,38 @@ def test_optimal_large_block_falls_back_to_greedy(spark):
         (r.uid1, r.uid2) for r in greedy_one_to_one(df, "uid1", "uid2").collect()
     }
     assert {(r.uid1, r.uid2) for r in sel} == want
+
+
+def test_drop_conflicts_converges_on_strong_bridge(spark):
+    """Two strong equivalence edges bridging disjoint endpoints through a
+    middle node: the threshold rule alone removes nothing, so the repair
+    must fall back to dropping the weakest cluster edge until
+    find_conflicts is empty."""
+    equiv = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.9)], "iri1 string, iri2 string, rating double"
+    )
+    disj = spark.createDataFrame(
+        [("a", "c", 0.85)], "iri1 string, iri2 string, rating double"
+    )
+    repaired = drop_conflicting_equivalences(equiv, disj)
+    assert find_conflicts(repaired, disj).count() == 0
+    # deterministic: the (rating, iri1, iri2)-weakest edge (a, b) goes
+    kept = {(r.iri1, r.iri2) for r in repaired.collect()}
+    assert kept == {("b", "c")}
+
+
+def test_optimal_handles_negative_ratings(spark):
+    """Branch-and-bound upper bound must not prune the optimum when
+    negative-rated edges are present."""
+    from prom_spark.operators.selection import optimal_one_to_one
+
+    rows = [
+        ("x1", "y1", 0.5),
+        ("x1", "y2", -0.4),
+        ("x2", "y1", 0.45),
+        ("x2", "y2", 0.4),
+    ]
+    df = spark.createDataFrame(rows, "iri1 string, iri2 string, rating double")
+    got = {(r.iri1, r.iri2) for r in optimal_one_to_one(df).collect()}
+    # optimum: x1-y1 (.5) + x2-y2 (.4) = .9 beats x2-y1+x1-y2 = .05
+    assert got == {("x1", "y1"), ("x2", "y2")}

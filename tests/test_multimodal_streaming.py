@@ -41,10 +41,16 @@ def test_multimodal_resize_and_frames(spark):
 
 
 def test_streaming_matches_batch(spark, tmp_path):
-    """availableNow streaming run must produce the same within-turn
-    triples as the batch pipeline on the same input."""
+    """availableNow streaming run must produce the same CANONICAL
+    within-turn triples as the batch pipeline on the same input (the
+    stream threads the dictionary-derived entity_map into every
+    micro-batch)."""
     from prom_spark.datagen import entity_dictionary, synth_transcripts
-    from prom_spark.pipeline.kg import extract_triples, link_mentions
+    from prom_spark.pipeline.kg import (
+        canonicalize_entities,
+        extract_triples,
+        link_mentions,
+    )
     from prom_spark.pipeline.mentions import detect_mentions
     from prom_spark.streaming.pipeline import run_streaming_kg
 
@@ -62,15 +68,29 @@ def test_streaming_matches_batch(spark, tmp_path):
     }
 
     batch_tr = spark.read.parquet(in_dir)
+    entity_map = canonicalize_entities(d).cache()
     mentions = detect_mentions(batch_tr)
     linked = link_mentions(mentions, d, use_salting=False)
     want = {
+        tuple(r)
+        for r in extract_triples(batch_tr, linked, entity_map=entity_map)
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # the canonicalization must be non-vacuous: the dictionary contains
+    # duplicate entities (every 8th), so raw ids differ from canonical
+    raw = {
         tuple(r)
         for r in extract_triples(batch_tr, linked)
         .select("conv_id", "turn_idx", "subj", "pred", "obj")
         .collect()
     }
-    assert got == want and len(got) > 0
+    assert raw != want
+    # streamed output ids are canonical ids only
+    canon = {r.canonical_id for r in entity_map.collect()}
+    ids_in_got = {s for (_, _, s, _, _) in got} | {o for (_, _, _, _, o) in got}
+    assert ids_in_got <= canon
 
 
 def test_windowed_counts_schema(spark, tmp_path):
