@@ -77,3 +77,43 @@ def string_match(
         F.col("_s2").alias(right_str),
         "rating",
     )
+
+
+def baseline_alignment(
+    labels1: DataFrame, labels2: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Levenshtein-only floor alignment (reference
+    src/baseline_string_matcher.py:56-63, wired for comparison reporting
+    at src/prom.py:197-198): per element type, blocked string match on
+    normalized labels, greedy 1:1 selection, every match labeled
+    equivalence. Exists so the full pipeline's quality can be asserted
+    AGAINST this floor — the reference reports both numbers side by side.
+    """
+    from prom_spark.functions.text import normalize_label
+    from prom_spark.matchers.lexical import CLS, DP, OP
+    from prom_spark.operators.selection import greedy_one_to_one
+
+    per_type = []
+    for et in (CLS, OP, DP):
+        l1 = labels1.filter(F.col("elem_type") == et).select(
+            "iri", normalize_label(F.col("label")).alias("norm")
+        )
+        l2 = labels2.filter(F.col("elem_type") == et).select(
+            "iri", normalize_label(F.col("label")).alias("norm")
+        )
+        scored = string_match(
+            l1.withColumnRenamed("iri", "iri1").withColumnRenamed("norm", "n1"),
+            l2.withColumnRenamed("iri", "iri2").withColumnRenamed("norm", "n2"),
+            "iri1", "iri2", "n1", "n2", threshold=threshold,
+        )
+        per_type.append(
+            scored.select("iri1", "iri2", "rating").withColumn(
+                "elem_type", F.lit(et)
+            )
+        )
+    allc = per_type[0]
+    for c in per_type[1:]:
+        allc = allc.unionByName(c)
+    return greedy_one_to_one(allc, uid1_col="iri1", uid2_col="iri2").withColumn(
+        "relation", F.lit("equivalence")
+    )

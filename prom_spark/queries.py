@@ -977,6 +977,27 @@ def _fixture_sides(spark):
     )
 
 
+class _few_shuffle_partitions:
+    """Execute a fixture-sized plan at low shuffle parallelism.
+
+    The golden-fixture chain is ~60 tiny stages over 37 rows; at the
+    session's corpus-sized shuffle width every stage schedules dozens of
+    empty tasks. Conf is applied around an EAGER materialization and
+    restored after — corpus queries in the same session are unaffected.
+    """
+
+    def __init__(self, spark, n: int = 4):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def q26_lexical_align(spark, sf_dir):
     """J1/J2/A7 + X-family: full lexical match vector over the reference
     fixture ontologies (explicit + implicit rules, contradiction-pruned).
@@ -984,14 +1005,16 @@ def q26_lexical_align(spark, sf_dir):
     from prom_spark import fixtures
     from prom_spark.matchers.lexical import lexical_match
 
-    an1, an2 = _fixture_sides(spark)
-    m = lexical_match(
-        an1, an2, fixtures.alias_dictionary(spark), fixtures.domain_vocabulary(spark)
-    )
-    return m.select(
-        "elem_type", "iri1", "iri2", "relation",
-        F.round("rating", 6).alias("rating"),
-    )
+    with _few_shuffle_partitions(spark):
+        an1, an2 = _fixture_sides(spark)
+        m = lexical_match(
+            an1, an2,
+            fixtures.alias_dictionary(spark), fixtures.domain_vocabulary(spark),
+        )
+        return m.select(
+            "elem_type", "iri1", "iri2", "relation",
+            F.round("rating", 6).alias("rating"),
+        ).localCheckpoint(eager=True)
 
 
 def q27_structural_blend(spark, sf_dir):
@@ -1002,23 +1025,25 @@ def q27_structural_blend(spark, sf_dir):
     from prom_spark.matchers.lexical import lexical_match
     from prom_spark.matchers.structural import structural_match
 
-    an1, an2 = _fixture_sides(spark)
-    sem = lexical_match(
-        an1, an2, fixtures.alias_dictionary(spark), fixtures.domain_vocabulary(spark)
-    ).coalesce(1).localCheckpoint(eager=True)
-    rated = structural_match(
-        sem,
-        fixtures.class_axioms(spark).filter(F.col("onto") == "a"),
-        fixtures.class_axioms(spark).filter(F.col("onto") == "fr"),
-        fixtures.op_axioms(spark).filter(F.col("onto") == "a"),
-        fixtures.op_axioms(spark).filter(F.col("onto") == "fr"),
-        fixtures.dp_axioms(spark).filter(F.col("onto") == "a"),
-        fixtures.dp_axioms(spark).filter(F.col("onto") == "fr"),
-    )
-    return rated.select(
-        "elem_type", "iri1", "iri2", "relation",
-        F.round("rating", 6).alias("rating"),
-    )
+    with _few_shuffle_partitions(spark):
+        an1, an2 = _fixture_sides(spark)
+        sem = lexical_match(
+            an1, an2,
+            fixtures.alias_dictionary(spark), fixtures.domain_vocabulary(spark),
+        ).coalesce(1).localCheckpoint(eager=True)
+        rated = structural_match(
+            sem,
+            fixtures.class_axioms(spark).filter(F.col("onto") == "a"),
+            fixtures.class_axioms(spark).filter(F.col("onto") == "fr"),
+            fixtures.op_axioms(spark).filter(F.col("onto") == "a"),
+            fixtures.op_axioms(spark).filter(F.col("onto") == "fr"),
+            fixtures.dp_axioms(spark).filter(F.col("onto") == "a"),
+            fixtures.dp_axioms(spark).filter(F.col("onto") == "fr"),
+        )
+        return rated.select(
+            "elem_type", "iri1", "iri2", "relation",
+            F.round("rating", 6).alias("rating"),
+        ).localCheckpoint(eager=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

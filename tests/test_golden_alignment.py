@@ -49,3 +49,25 @@ def test_known_ratings(spark, accepted):
     # inverse/disjoint ratings pass through unblended
     assert got[("succeeds", "successeur", "inverse")] == 0.6
     assert got[("lower", "souleve", "disjoint")] == 0.6
+
+
+def test_full_pipeline_beats_string_floor(spark, accepted):
+    """The reference reports the Levenshtein-only baseline next to the
+    full pipeline (src/prom.py:197-198); the full pipeline must beat
+    that floor on the golden fixture."""
+    from prom_spark.matchers.string_matcher import baseline_alignment
+
+    base = baseline_alignment(
+        fixtures.onto_labels(spark).filter("onto = 'a'"),
+        fixtures.onto_labels(spark).filter("onto = 'fr'"),
+    )
+    ref = fixtures.reference_alignment(spark)
+    floor = assess(base, ref)
+    full = assess(accepted, ref)
+    # the floor cannot see synonyms/disjoints/inverses: recall is well
+    # below the full pipeline's
+    assert floor.recall < full.recall
+    assert floor.fmeasure < full.fmeasure
+    assert full.fmeasure >= 0.95
+    # sanity: the floor still finds the trivially-identical labels
+    assert floor.n_correct >= 5

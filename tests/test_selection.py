@@ -107,3 +107,32 @@ def test_agg_selection_equals_window_selection(spark):
         ).select("k", "entity_id", "gram", "rating").collect()
     }
     assert got == want
+
+
+def test_best_candidate_longest_match_first(spark):
+    """A9: dedicated gate for grouped-max longest-match selection — with
+    a longest-gram extra_order the longer surface form wins its span
+    even at a lower rating; without it, rating wins."""
+    from pyspark.sql import functions as F
+
+    from prom_spark.operators.selection import best_candidate_per_left
+
+    rows = [
+        ("m1", "E1", 0.9, "ab"),
+        ("m1", "E2", 0.7, "abcd"),
+        ("m2", "E3", 0.5, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "mention_id string, entity_id string, rating double, gram string"
+    )
+    longest = {
+        r.mention_id: r.entity_id
+        for r in best_candidate_per_left(
+            df, extra_order=[F.length("gram").desc()]
+        ).collect()
+    }
+    assert longest == {"m1": "E2", "m2": "E3"}
+    by_rating = {
+        r.mention_id: r.entity_id for r in best_candidate_per_left(df).collect()
+    }
+    assert by_rating == {"m1": "E1", "m2": "E3"}
