@@ -8,8 +8,12 @@ entry(spark)  — flagship: reshape sf0.001 documents into the transcript
 queries()     — one entry per implemented operator from SURVEY.md §2
                 plus the training-data-pipeline extras (dedup, ANN,
                 text analysis), each over the driver testdata tables.
-oracle_sql()  — DuckDB twins (see prom_spark/queries.py for the exactness
-                rules: decimal aggregates, round(x, 6), md5 hashing).
+oracle_sql()  — DuckDB twins for ALL 27 entries (see
+                prom_spark/queries.py for the exactness rules: decimal
+                aggregates cast to rounded doubles on both engines,
+                round(x, 6) similarity scores, md5 hashing; recursive
+                CTEs twin the iterative ops, prom_spark/oracle_golden.py
+                twins the golden alignment chain).
 """
 
 from __future__ import annotations

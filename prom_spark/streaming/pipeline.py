@@ -71,6 +71,52 @@ def windowed_entity_counts(
     )
 
 
+def streaming_first_seen_entities(
+    linked_stream: DataFrame,
+) -> DataFrame:
+    """Custom stateful operator: cross-batch per-conversation dedup.
+
+    ``applyInPandasWithState`` keeps, per conv_id, the set of entity ids
+    already emitted; each micro-batch appends only FIRST-seen entities
+    with their earliest timestamp. This is the streaming analogue of the
+    batch pipeline's per-turn ``array_distinct`` dedup lifted to the
+    whole conversation across batches — state the stateless stages and
+    ``foreachBatch`` cannot express (a batch only sees its own rows).
+
+    State size is bounded by |distinct entities per conversation| — the
+    dictionary's entity count in the worst case — so the state store
+    stays small no matter how long the conversation runs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, entity_id string, first_ts timestamp"
+    state_schema = "seen array<string>"
+
+    def emit_first_seen(key, pdf_iter, state):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdf_iter:
+            for r in pdf.sort_values("ts").itertuples():
+                if r.entity_id not in seen:
+                    seen.add(r.entity_id)
+                    rows.append((key[0], r.entity_id, r.ts))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(rows, columns=["conv_id", "entity_id", "first_ts"])
+
+    return (
+        linked_stream.select("conv_id", "entity_id", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            emit_first_seen,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_streaming_kg(
     spark: SparkSession,
     input_path: str,

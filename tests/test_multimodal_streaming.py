@@ -123,3 +123,61 @@ def test_windowed_counts_schema(spark, tmp_path):
         "window_start", "window_end", "entity_id", "n_mentions"
     }
     assert all(r.n_mentions > 0 for r in rows)
+
+
+def test_stateful_first_seen_entities(spark, tmp_path):
+    """applyInPandasWithState keeps per-conversation state ACROSS
+    micro-batches: an entity emitted in batch 1 must not re-emit in
+    batch 2, and first_ts is the earliest mention."""
+    import datetime
+
+    from prom_spark.streaming.pipeline import (
+        TRANSCRIPT_SCHEMA,
+        stream_transcripts,
+        streaming_entity_mentions,
+        streaming_first_seen_entities,
+    )
+    from prom_spark.datagen import entity_dictionary
+
+    d = entity_dictionary(spark, 8).cache()
+    aliases = [r.alias for r in d.collect() if " " not in r.alias][:3]
+    a0, a1, a2 = aliases
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def turn(conv, idx, text):
+        return (conv, idx, "user", text, None, t0 + datetime.timedelta(seconds=idx))
+
+    in_dir = tmp_path / "in3"
+    in_dir.mkdir()
+    # batch 1: conv-a mentions a0 and a1
+    spark.createDataFrame(
+        [turn("conv-a", 0, f"the {a0} feeds the {a1} now")], TRANSCRIPT_SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    # batch 2: conv-a re-mentions a0 (must NOT re-emit) + new a2
+    spark.createDataFrame(
+        [turn("conv-a", 1, f"the {a0} uses the {a2} today")], TRANSCRIPT_SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    out = streaming_first_seen_entities(streaming_entity_mentions(stream, d))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from first_seen").collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r.entity_id, []).append(r.first_ts)
+    # each entity appears exactly once despite the batch-2 re-mention
+    assert all(len(v) == 1 for v in by_entity.values()), by_entity
+    ent_of = {r.alias: r.entity_id for r in d.collect()}
+    assert set(by_entity) == {ent_of[a0], ent_of[a1], ent_of[a2]}
