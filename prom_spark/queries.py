@@ -431,8 +431,8 @@ def q13_minhash_lsh(spark, sf_dir):
         )
         .distinct()
     )
-    t1 = _doc_tokens(spark, sf_dir).select(F.col("doc_id").alias("d1"), "tok")
-    t2 = _doc_tokens(spark, sf_dir).select(F.col("doc_id").alias("d2"), "tok")
+    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
     inter = (
         pairs.join(t1, "d1").join(t2, ["d2", "tok"])
         .groupBy("d1", "d2", "n1", "n2")
@@ -957,6 +957,101 @@ SELECT n_name, r_name, rating FROM g WHERE sel
 """
 
 
+def q28_embedding_near_dupes(spark, sf_dir):
+    """Banded hyperplane-LSH embedding near-dup under the hash gate.
+
+    The embeddings table has no true near-dups (max pairwise cosine
+    ~0.5), so the input is the table unioned with an id-shifted copy of
+    itself: every vector gains exactly one exact duplicate at cosine
+    1.0, which the bucketing must recover and the exact-cosine verify
+    must score. Planes are deterministic md5 vectors, so the oracle
+    recomputes identical buckets."""
+    from prom_spark.operators.dedup import embedding_near_dupes
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    out = embedding_near_dupes(both, "vec_id", "embedding", threshold=0.95)
+    return out.select(
+        "id1", "id2", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _planes_sql(n_planes: int, dim: int) -> str:
+    from prom_spark.operators.dedup import _deterministic_planes
+
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}])"
+        for i, p in enumerate(_deterministic_planes(n_planes, dim))
+    )
+    return f"SELECT pid::INT AS pid, p::DOUBLE[] AS p FROM (VALUES\n    {rows}) t(pid, p)"
+
+
+def _q28_sql() -> str:
+    return f"""
+WITH planes AS ({_planes_sql(24, 64)}),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings),
+dots AS (
+  SELECT vec_id, e, pid,
+         CASE WHEN list_dot_product(e, p) > 0 THEN 1 ELSE 0 END AS b
+  FROM e CROSS JOIN planes),
+sig AS (
+  SELECT vec_id, any_value(e) AS e,
+         (pid // 4)::VARCHAR || ':' || string_agg(b::VARCHAR, '' ORDER BY pid) AS bucket
+  FROM dots GROUP BY vec_id, pid // 4),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+                  a.e AS e1, b.e AS e2
+  FROM sig a JOIN sig b USING (bucket) WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT id1, id2,
+         round(list_dot_product(e1, e2)
+               / (sqrt(list_dot_product(e1, e1)) * sqrt(list_dot_product(e2, e2))),
+               6) AS cosine
+  FROM pairs)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.95
+"""
+
+
+def q29_simhash_near_dupes(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 2) with pigeonhole-complete
+    3-band blocking, over the documents table."""
+    from prom_spark.operators.dedup import simhash_near_dupes
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dupes(d, "doc_id", "text", bits=16, max_hamming=2).select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# 3 bands over 16 bits: sizes 6/5/5 at offsets 1/7/12 — mirrors the
+# operator's max_hamming+1 banding exactly
+_Q29_SQL = f"""
+WITH sh AS ({{Q15}}),
+blocked AS (
+  SELECT doc_id, simhash,
+         unnest(['0:' || substr(simhash, 1, 6),
+                 '1:' || substr(simhash, 7, 5),
+                 '2:' || substr(simhash, 12, 5)]) AS blk
+  FROM sh),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                  a.simhash AS s1, b.simhash AS s2
+  FROM blocked a JOIN blocked b USING (blk) WHERE a.doc_id < b.doc_id),
+h AS (
+  SELECT id1, id2,
+         list_sum(list_transform(range(1, 17),
+             i -> CASE WHEN substr(s1, i, 1) != substr(s2, i, 1)
+                       THEN 1 ELSE 0 END))::INT AS hamming
+  FROM pairs)
+SELECT id1, id2, hamming FROM h WHERE hamming <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # golden-alignment chain under the oracle gate (fixture-driven; sf-independent)
 # --------------------------------------------------------------------------
@@ -1075,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_entity_linking": q25_entity_linking,
         "q26_lexical_align": q26_lexical_align,
         "q27_structural_blend": q27_structural_blend,
+        "q28_embedding_near_dupes": q28_embedding_near_dupes,
+        "q29_simhash_near_dupes": q29_simhash_near_dupes,
     }
 
 
@@ -1109,4 +1206,6 @@ def oracle_sql() -> dict[str, str]:
         "q25_entity_linking": _Q25_SQL,
         "q26_lexical_align": _q26_sql(),
         "q27_structural_blend": _q27_sql(),
+        "q28_embedding_near_dupes": _q28_sql(),
+        "q29_simhash_near_dupes": _Q29_SQL.format(Q15=_Q15_SQL),
     }
