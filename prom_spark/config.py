@@ -72,9 +72,12 @@ class PipelineConfig:
     link_embedding_weight: float = 0.5
     link_threshold: float = 0.6
     # skew handling: aliases whose mention count exceeds this factor times
-    # the mean get salted into this many sub-keys
+    # the mean get salted into this many sub-keys; detection counts a
+    # deterministic sample of the mention stream (hot keys are visible in
+    # any small sample; the threshold is scale-free)
     hot_key_salts: int = 8
     hot_key_factor: float = 10.0
+    hot_key_sample: float = 0.05
     embedding_dim: int = 16
 
 

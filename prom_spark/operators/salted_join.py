@@ -30,6 +30,7 @@ def salted_join(
     hot_factor: float = 10.0,
     how: str = "inner",
     hot_keys: list | DataFrame | None = None,
+    detect_sample_fraction: float | None = None,
 ) -> DataFrame:
     """Join ``big ⋈ small on key`` with salting on detected hot keys.
 
@@ -37,7 +38,13 @@ def salted_join(
     ``hot_keys`` when supplied (a list of key values or a one-column
     DataFrame) — the right call at 10^12 rows where the hot set is known
     a priori (e.g. the dictionary's most-aliased entities); otherwise
-    they are detected with one partial-agg count pass over ``big``.
+    they are detected with a count pass over ``big``. With
+    ``detect_sample_fraction`` the detection counts a deterministic
+    sample instead of the full table: hot keys are by definition the
+    keys a small sample still sees many times, so a 2-5% sample finds
+    them while cutting the extra pass's scan+shuffle by 20-50x (the
+    mean-count threshold is scale-free — both sides shrink by the same
+    fraction).
     """
     if hot_keys is not None:
         if isinstance(hot_keys, DataFrame):
@@ -51,7 +58,12 @@ def salted_join(
                 .distinct()
             )
     else:
-        counts = big.groupBy(key).agg(F.count("*").alias("_cnt"))
+        src = (
+            big.sample(fraction=detect_sample_fraction, seed=7)
+            if detect_sample_fraction
+            else big
+        )
+        counts = src.groupBy(key).agg(F.count("*").alias("_cnt"))
         stats = counts.agg(F.avg("_cnt").alias("_mean")).collect()[0]
         mean = stats._mean or 1.0
         hot = counts.filter(F.col("_cnt") > hot_factor * mean).select(

@@ -86,6 +86,7 @@ def _link_candidates(
             n_salts=cfg.hot_key_salts,
             hot_factor=cfg.hot_key_factor,
             hot_keys=hot_keys,
+            detect_sample_fraction=cfg.hot_key_sample,
         )
         if use_salting
         else mentions.join(

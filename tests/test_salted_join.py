@@ -46,3 +46,14 @@ def test_salted_join_hot_keys_skips_count_pass(spark):
         big, small, key="k", n_salts=4, hot_keys=["hot"]
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "count(1)" not in plan
+
+
+def test_salted_join_sampled_detection(spark):
+    """Sampled hot-key detection changes only the salting choice, never
+    the join output."""
+    big, small = _frames(spark)
+    plain = _key_set(big.join(small, on="k"))
+    sampled = _key_set(
+        salted_join(big, small, key="k", n_salts=4, detect_sample_fraction=0.3)
+    )
+    assert sampled == plain

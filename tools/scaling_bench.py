@@ -46,18 +46,25 @@ def _spin(n: int) -> float:
     return time.time() - t0
 
 
-def cpu_calibration(n: int) -> float:
-    """Pure-CPU throughput scaling ceiling from N to 4N processes."""
+def _calibrate(worker, args_of, n: int, reps: int = 3) -> float:
+    """Best-of-reps throughput ratio N -> 4N for a multiprocessing
+    workload — single runs on this shared hypervisor vary up to 2x with
+    steal-time bursts, which can even push a naive ratio above 1."""
     import multiprocessing as mp
 
-    work = 30_000_000
-    thr = {}
+    thr = {n: 0.0, 4 * n: 0.0}
     for procs in (n, 4 * n):
-        with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(_spin, [work] * procs * 3)
-            thr[procs] = procs * 3 / (time.time() - t0)
+        for _ in range(reps):
+            with mp.Pool(procs) as pool:
+                t0 = time.time()
+                pool.map(worker, args_of(procs))
+                thr[procs] = max(thr[procs], len(args_of(procs)) / (time.time() - t0))
     return (thr[4 * n] / thr[n]) / 4.0
+
+
+def cpu_calibration(n: int) -> float:
+    """Pure-CPU throughput scaling ceiling from N to 4N processes."""
+    return _calibrate(_spin, lambda p: [30_000_000] * p * 3, n)
 
 
 def _stream(_):
@@ -93,15 +100,7 @@ def random_access_calibration(n: int) -> float:
     near-linearly here. On a multi-node cluster each executor brings its
     own cache/memory subsystem, so this ceiling is a single-box artifact.
     """
-    import multiprocessing as mp
-
-    thr = {}
-    for procs in (n, 4 * n):
-        with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(_gather, range(procs))
-            thr[procs] = procs / (time.time() - t0)
-    return (thr[4 * n] / thr[n]) / 4.0
+    return _calibrate(_gather, lambda p: list(range(p)), n)
 
 
 def bandwidth_calibration(n: int) -> float:
@@ -113,15 +112,7 @@ def bandwidth_calibration(n: int) -> float:
     scale here. On a real cluster each node contributes its own memory
     channels, so this ceiling is a single-box artifact.
     """
-    import multiprocessing as mp
-
-    thr = {}
-    for procs in (n, 4 * n):
-        with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(_stream, range(procs))
-            thr[procs] = procs / (time.time() - t0)
-    return (thr[4 * n] / thr[n]) / 4.0
+    return _calibrate(_stream, lambda p: list(range(p)), n)
 
 
 def run_bench(cpus: int, convs: int, reps: int) -> dict:
