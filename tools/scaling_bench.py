@@ -115,7 +115,7 @@ def bandwidth_calibration(n: int) -> float:
     return _calibrate(_stream, lambda p: list(range(p)), n)
 
 
-def run_bench(cpus: int, convs: int, reps: int) -> dict:
+def _one_bench_run(cpus: int, convs: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -123,22 +123,36 @@ def run_bench(cpus: int, convs: int, reps: int) -> dict:
         PROM_BENCH_PIN_JVM="1",
         PROM_BENCH_WARMUP="1",
     )
-    best = None
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, os.path.join(REPO, "bench.py"), "--kg-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_bench_interleaved(n: int, convs: int, reps: int) -> tuple[dict, dict]:
+    """Best-of-reps at N and 4N cores with the reps INTERLEAVED
+    (N, 4N, N, 4N, ...): the sandbox host has multi-minute steal-time
+    bursts, and sequential per-level phases let one burst depress a
+    whole level — which once measured a stage as 'slower on more cores'.
+    Interleaving gives every burst a chance to hit both levels, so the
+    per-level best reflects the same host conditions."""
+    best = {n: None, 4 * n: None}
     for _ in range(reps):
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}",
-             sys.executable, os.path.join(REPO, "bench.py"), "--kg-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=REPO,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        if best is None or r["kg_triples_per_sec"] > best["kg_triples_per_sec"]:
-            best = r
-    return best
+        for cpus in (n, 4 * n):
+            r = _one_bench_run(cpus, convs)
+            if (
+                best[cpus] is None
+                or r["kg_triples_per_sec"] > best[cpus]["kg_triples_per_sec"]
+            ):
+                best[cpus] = r
+    return best[n], best[4 * n]
 
 
 def main() -> None:
@@ -148,8 +162,7 @@ def main() -> None:
     ceiling = cpu_calibration(n)
     bw_ceiling = bandwidth_calibration(n)
     ra_ceiling = random_access_calibration(n)
-    lo = run_bench(n, convs, reps)
-    hi = run_bench(4 * n, convs, reps)
+    lo, hi = run_bench_interleaved(n, convs, reps)
     thr_lo = lo["kg_triples_per_sec"]
     thr_hi = hi["kg_triples_per_sec"]
     eff = (thr_hi / thr_lo) / 4.0
@@ -205,10 +218,11 @@ AND `-XX:ActiveProcessorCount=cores` so the JVM's helper threads (GC,
 netty, JIT) are confined to the advertised cores — a faithful simulation
 of an N-core executor host (unpinned local[N] silently borrows the whole
 box for helper threads). One untimed 1/40-scale warmup per process
-compiles codegen/JIT; {reps} timed reps per level, best throughput kept
-(the sandbox shares a hypervisor with bursty steal time; single runs
-vary up to 2x, and max-throughput is the noise-robust capacity
-estimator).
+compiles codegen/JIT; {reps} timed reps per level, INTERLEAVED
+({n}c, {4*n}c, {n}c, ...) so a multi-minute hypervisor steal-time burst
+cannot depress one level's whole phase, best throughput kept per level
+(single runs vary up to 2x on this shared host, and max-throughput is
+the noise-robust capacity estimator).
 
 ## Results
 
@@ -244,16 +258,23 @@ are plain multiprocessing, no Spark, no JVM):
 - random-access memory (numpy permutation gather):
   **{report['host_random_access_ceiling']}**.
 
-Compute-bound and streaming workloads scale near-linearly on this box;
-CONCURRENT RANDOM ACCESS does not — its ceiling matches the engine's
-measured efficiency. The engine's inner loops (hash aggregation, shuffle
-row handling, expression evaluation over variable-length data) are
-random-access by nature: per-stage CPU accounting shows full core
-utilization at BOTH parallelism levels, with per-task CPU-seconds
-inflating ~3x at the higher level — stall cycles from contended memory
-latency, not idle cores, not GC (total GC pauses ~0.5s per 70s stage;
-ParallelGC no better), not algorithmic serialization (no driver-side
-data path exists; every stage is shuffle-partitioned).
+Pure CPU scales near-linearly on this box; memory-subsystem workloads
+do not — sequential bandwidth and concurrent random access both run
+into the single shared memory controller (a multi-node cluster adds one
+per node). The attribution table shows the engine's stages span exactly
+that range: the codegen-heavy narrow stages (ingest, triples_raw,
+triples) sit at 0.8+, mention detection (tokenize + gram explode) at
+~0.72, and the one stage that moves the full candidate stream through a
+salted shuffle (linked) binds at ~0.47 — between the bandwidth and
+random-access ceilings, which is what a shuffle is. Per-stage CPU
+accounting shows full core utilization at both levels with per-task
+CPU-seconds inflating at the higher level — stall cycles from contended
+memory, not idle cores, not GC, not algorithmic serialization (no
+driver-side data path exists; every stage is shuffle-partitioned).
+Round-over-round, attribution drove the number: round 1 measured 0.404
+end-to-end; profiling the per-stage table exposed a pathological
+regex-split in the tokenizer (flat 70s at both levels) whose fix moved
+end-to-end efficiency to ~0.65.
 
 A cluster of N→4N EXECUTORS — the regime the north_rule targets — adds a
 cache/memory subsystem with every node, so this single-box ceiling does
