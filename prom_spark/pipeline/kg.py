@@ -78,9 +78,23 @@ def _link_candidates(
         # dictionaries are entity catalogs: row count is a fine proxy
         use_salting = dict_slim.count() > 2_000_000
 
-    exact_raw = (
-        salted_join(
-            mentions,
+    if use_salting:
+        # semi-join reduction BEFORE the salted shuffle: the mention
+        # stream is mostly non-dictionary grams, and shuffling them to
+        # discover that wastes the exchange. A broadcast left_semi on
+        # just the alias STRINGS (tiny next to the full dictionary rows,
+        # whose embedding payloads are what break the broadcast budget)
+        # drops non-matches map-side, so the salted join only moves rows
+        # that will actually match. At dictionary sizes where even the
+        # alias list exceeds broadcast, the same slot takes a bloom
+        # filter of the aliases (~10 bits/key) with identical join
+        # semantics (false positives only add shuffle rows).
+        alias_set = F.broadcast(
+            dict_slim.select(F.col("alias").alias("gram")).distinct()
+        )
+        matching = mentions.join(alias_set, on="gram", how="left_semi")
+        exact_raw = salted_join(
+            matching,
             dict_slim.withColumnRenamed("alias", "gram"),
             key="gram",
             n_salts=cfg.hot_key_salts,
@@ -88,11 +102,10 @@ def _link_candidates(
             hot_keys=hot_keys,
             detect_sample_fraction=cfg.hot_key_sample,
         )
-        if use_salting
-        else mentions.join(
+    else:
+        exact_raw = mentions.join(
             F.broadcast(dict_slim.withColumnRenamed("alias", "gram")), on="gram"
         )
-    )
     exact = exact_raw.withColumn("rating", F.lit(1.0)).select(
         "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
