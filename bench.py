@@ -109,7 +109,7 @@ def main() -> None:
     # per-stage wall time from the checkpoint metrics (compute + write):
     # the scaling harness uses these for per-stage efficiency attribution
     stage_sec = {}
-    for st in ("ingest", "mentions", "entity_map", "linked", "triples_raw", "triples"):
+    for st in ("ingest", "grams", "fuzzy_scores", "candidates", "entity_map", "linked", "triples_raw", "triples"):
         try:
             stage_sec[st] = result.store.metrics(st)["duration_sec"]
         except FileNotFoundError:

@@ -110,18 +110,37 @@ def _link_candidates(
         "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
 
-    # fuzzy path: score DISTINCT unmatched grams against the dictionary
-    # (blocked on first char + word count), then re-join to occurrences.
-    # Scoring per distinct gram instead of per occurrence cuts the
-    # levenshtein+embedding work by the mention duplication factor —
-    # with Zipf-skewed mentions that factor is enormous.
-    # gram embeddings are PRE-projected as a column: inlining the
-    # embedding expression inside cosine_sim would re-evaluate the md5
-    # transform once per cosine term (dot + both norms) with no codegen
-    # CSE across higher-order functions — measured 60x slower.
-    distinct_grams = (
-        mentions.select("gram")
-        .distinct()
+    # fuzzy path: score DISTINCT unmatched grams against the dictionary,
+    # broadcast the bounded score table back onto occurrences.
+    fuzzy_scores = _fuzzy_scores(mentions.select("gram").distinct(), dict_slim, cfg)
+    # fuzzy_scores is bounded by |dict| x variants-above-threshold, not by
+    # corpus size: broadcast it. A plain join here would shuffle every
+    # occurrence by Zipf-hot gram — the exact skew the north_rule warns
+    # about; broadcasting removes the shuffle instead of salting it.
+    fuzzy = mentions.join(F.broadcast(fuzzy_scores), on="gram").select(
+        "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
+    )
+
+    return exact.unionByName(fuzzy)
+
+
+def _fuzzy_scores(
+    distinct_grams: DataFrame,
+    dict_slim: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """(gram, entity_id, rating) fuzzy link scores for DISTINCT grams.
+
+    Scoring per distinct gram instead of per occurrence cuts the
+    levenshtein+embedding work by the mention duplication factor — with
+    Zipf-skewed mentions that factor is enormous. Blocking: (first char,
+    word count). Gram embeddings are PRE-projected as a column: inlining
+    the embedding expression inside cosine_sim would re-evaluate the md5
+    transform once per cosine term with no codegen CSE across
+    higher-order functions — measured 60x slower.
+    """
+    dg = (
+        distinct_grams
         .join(dict_slim, F.col("gram") == dict_slim["alias"], "left_anti")
         .withColumn("gram_emb", hash_embedding(F.col("gram")))
         .withColumn("_blk", F.substring("gram", 1, 1))
@@ -130,8 +149,8 @@ def _link_candidates(
     d_blocked = dict_slim.withColumn("_blk", F.substring("alias", 1, 1)).withColumn(
         "_nw", F.size(F.split("alias", " "))
     )
-    fuzzy_scores = (
-        distinct_grams.join(F.broadcast(d_blocked), on=["_blk", "_nw"])
+    return (
+        dg.join(F.broadcast(d_blocked), on=["_blk", "_nw"])
         .withColumn("_lev", norm_levenshtein("gram", "alias"))
         .filter(F.col("_lev") >= 0.5)
         .withColumn(
@@ -143,14 +162,40 @@ def _link_candidates(
         .filter(F.col("rating") > cfg.link_threshold)
         .select("gram", "entity_id", "rating")
     )
-    # fuzzy_scores is bounded by |dict| x variants-above-threshold, not by
-    # corpus size: broadcast it. A plain join here would shuffle every
-    # occurrence by Zipf-hot gram — the exact skew the north_rule warns
-    # about; broadcasting removes the shuffle instead of salting it.
-    fuzzy = mentions.join(F.broadcast(fuzzy_scores), on="gram").select(
+
+
+def _score_candidates(
+    candidates: DataFrame,
+    dict_slim: DataFrame,
+    fuzzy_scores: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    use_salting: bool = True,
+    hot_keys=None,
+) -> DataFrame:
+    """Score a PRE-FILTERED occurrence stream (every row's gram is known
+    to match the dictionary exactly or appear in ``fuzzy_scores``).
+
+    Same join design as ``_link_candidates`` minus the semi-reduction
+    (already applied upstream) and minus the distinct-gram scoring
+    (supplied precomputed — in ``build_kg`` it is its own checkpoint).
+    """
+    d = dict_slim.withColumnRenamed("alias", "gram")
+    if use_salting:
+        exact_raw = salted_join(
+            candidates, d, key="gram",
+            n_salts=cfg.hot_key_salts,
+            hot_factor=cfg.hot_key_factor,
+            hot_keys=hot_keys,
+            detect_sample_fraction=cfg.hot_key_sample,
+        )
+    else:
+        exact_raw = candidates.join(F.broadcast(d), on="gram")
+    exact = exact_raw.withColumn("rating", F.lit(1.0)).select(
         "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
-
+    fuzzy = candidates.join(F.broadcast(fuzzy_scores), on="gram").select(
+        "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
+    )
     return exact.unionByName(fuzzy)
 
 
@@ -207,9 +252,19 @@ def link_mentions_per_turn(
     single box that table's movement is pure memory-bandwidth cost, and
     on a cluster it is a full extra exchange of the largest intermediate.
     """
-    cand = _link_candidates(mentions, dictionary, cfg, use_salting, hot_keys).filter(
-        F.col("rating") > cfg.link_threshold
-    )
+    cand = _link_candidates(mentions, dictionary, cfg, use_salting, hot_keys)
+    return _per_turn_select(cand, cfg, entity_map)
+
+
+def _per_turn_select(
+    cand: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    entity_map: DataFrame | None = None,
+) -> DataFrame:
+    """Scored candidate stream -> (conv_id, turn_idx, ents) in one
+    shuffle, canonical ids applied pre-grouping, per-span selection
+    inside the sorted array (see ``link_mentions_per_turn``)."""
+    cand = cand.filter(F.col("rating") > cfg.link_threshold)
     if entity_map is not None:
         cand = (
             cand.join(F.broadcast(entity_map), on="entity_id", how="left")
@@ -492,11 +547,41 @@ def build_kg(
         .distinct()
         .collect()
     ]
-    mentions = store.get_or_compute(
-        "mentions",
-        lambda: detect_mentions(ingest, bigram_first_tokens=first_tokens),
+    # the raw mention stream (every unigram/blocked-bigram occurrence) is
+    # the pipeline's LARGEST intermediate — ~65x the turn count — and at
+    # 10^12 turns persisting it dominates stage I/O. It is therefore
+    # never materialized: the checkpoints are its two small projections,
+    #   grams       distinct candidate grams (bounded by vocabulary^2,
+    #               corpus-independent — the fuzzy scoring input)
+    #   candidates  occurrences whose gram matches the dictionary
+    #               exactly or fuzzily (bounded by true mention volume)
+    # at the price of one extra tokenize pass over the turn text (cheap,
+    # codegen) instead of a full write+read of the mention stream.
+    mentions_full = detect_mentions(ingest, bigram_first_tokens=first_tokens)
+    dict_slim = dictionary.select("alias", "entity_id", "embedding")
+
+    grams = store.get_or_compute(
+        "grams",
+        lambda: mentions_full.select("gram").distinct(),
         resume=resume,
         inputs=["ingest"],
+    )
+    fuzzy_scores = store.get_or_compute(
+        "fuzzy_scores",
+        lambda: _fuzzy_scores(grams, dict_slim, cfg),
+        resume=resume,
+        inputs=["grams", "<dictionary>"],
+    )
+    match_keys = (
+        dict_slim.select(F.col("alias").alias("gram"))
+        .unionByName(fuzzy_scores.select("gram"))
+        .distinct()
+    )
+    candidates = store.get_or_compute(
+        "candidates",
+        lambda: mentions_full.join(F.broadcast(match_keys), on="gram", how="left_semi"),
+        resume=resume,
+        inputs=["ingest", "fuzzy_scores", "<dictionary>"],
     )
 
     entity_map = store.get_or_compute(
@@ -508,12 +593,16 @@ def build_kg(
 
     linked = store.get_or_compute(
         "linked",
-        lambda: link_mentions_per_turn(
-            mentions, dictionary, cfg, use_salting=use_salting,
-            entity_map=entity_map, hot_keys=hot_keys,
+        lambda: _per_turn_select(
+            _score_candidates(
+                candidates, dict_slim, fuzzy_scores, cfg,
+                use_salting=use_salting, hot_keys=hot_keys,
+            ),
+            cfg,
+            entity_map,
         ),
         resume=resume,
-        inputs=["mentions", "<dictionary>", "entity_map"],
+        inputs=["candidates", "fuzzy_scores", "<dictionary>", "entity_map"],
     )
 
     # triples_raw is already canonical and per-turn deduped (ids were

@@ -87,8 +87,8 @@ def main() -> None:
         "partitions": len(metrics.get("partitions", [])),
         "stages": {
             s: result.store.metrics(s).get("duration_sec")
-            for s in ("ingest", "mentions", "entity_map", "linked",
-                      "triples_raw", "triples")
+            for s in ("ingest", "grams", "fuzzy_scores", "candidates",
+                      "entity_map", "linked", "triples_raw", "triples")
         },
         "output": args.output,
     }))
