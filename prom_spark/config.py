@@ -79,6 +79,14 @@ class PipelineConfig:
     hot_key_factor: float = 10.0
     hot_key_sample: float = 0.05
     embedding_dim: int = 16
+    # broadcast budgets. dict_broadcast_limit: dictionaries (WITH embedding
+    # payloads) above this row count switch the exact link join from
+    # broadcast to salted shuffle. alias_broadcast_limit: above this row
+    # count even the bare alias-string set is too large to broadcast for
+    # the semi-join reduction, and the semi-reduction itself falls back to
+    # a salted shuffle semi-join (strings only, no payload).
+    dict_broadcast_limit: int = 2_000_000
+    alias_broadcast_limit: int = 20_000_000
 
 
 DEFAULT_CONFIG = PipelineConfig()

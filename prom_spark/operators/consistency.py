@@ -51,7 +51,7 @@ def find_conflicts(
 
 
 def drop_conflicting_equivalences(
-    equivalences: DataFrame, disjoints: DataFrame, max_rounds: int = 10
+    equivalences: DataFrame, disjoints: DataFrame, max_rounds: int | None = None
 ) -> DataFrame:
     """Repair to a FIXPOINT: returns equivalences with no remaining
     conflict against ``disjoints``.
@@ -61,15 +61,25 @@ def drop_conflicting_equivalences(
     edge is that weak (two strong edges bridging the disjoint endpoints
     through a middle node), the round instead removes the cluster's
     single weakest edge — so every round removes at least one edge per
-    conflicted cluster and the loop terminates. Deterministic automated
+    conflicted cluster and the loop TERMINATES unconditionally (the edge
+    set strictly shrinks; worst case |E| rounds). ``max_rounds`` is an
+    optional safety cap only — hitting it warns loudly instead of
+    silently returning still-conflicting equivalences, since downstream
+    consumers assume the output is clean. Deterministic automated
     stand-in for the reference's interactive debug loop.
     """
+    import itertools
+    import warnings
+
     from pyspark.sql import Window
 
     e = equivalences
-    for _ in range(max_rounds):
+    rounds = range(max_rounds) if max_rounds is not None else itertools.count()
+    clean = False
+    for _ in rounds:
         conflicts = find_conflicts(e, disjoints)
         if conflicts.isEmpty():
+            clean = True
             break
         bad = conflicts.groupBy("component").agg(
             F.max("rating").alias("_disj_rating")
@@ -104,5 +114,14 @@ def drop_conflicting_equivalences(
             )
             .drop("component", "_disj_rating", "_below", "_rk")
             .localCheckpoint(eager=True)
+        )
+    if not clean and max_rounds is not None and find_conflicts(e, disjoints).isEmpty():
+        clean = True
+    if not clean:
+        warnings.warn(
+            f"drop_conflicting_equivalences hit max_rounds={max_rounds} with "
+            "conflicts remaining — output is NOT conflict-free",
+            RuntimeWarning,
+            stacklevel=2,
         )
     return e

@@ -2,16 +2,21 @@
 
 Training-data-pipeline first-class citizens: exact, MinHash+LSH, SimHash,
 n-gram Jaccard, and embedding-cosine near-dup. All are compositions of
-built-in DataFrame ops (explode/groupBy/join) — no UDFs — so they scale
-with the shuffle, and all hashing is md5-based (deterministic and
-engine-portable; the q13/q15 oracle twins in prom_spark.queries compute
-identical values in DuckDB).
+built-in DataFrame ops (explode/groupBy/join) so they scale with the
+shuffle; the one Python kernel is the Arrow-batched hyperplane-signature
+matmul (``_band_bucket_udf`` — a per-partition numpy matmul, not per-row
+Python). All hashing is md5-based (deterministic and engine-portable;
+the q13/q15 oracle twins in prom_spark.queries compute identical values
+in DuckDB).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from prom_spark.functions.similarity import cosine_sim
 from prom_spark.functions.text import doc_fingerprint
@@ -166,12 +171,25 @@ def lsh_bucket_stats(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """(id, simhash bit-string) from md5 hex-digit parities."""
+    """(id, simhash bit-string) from md5 hex-digit parities.
+
+    ``bits`` <= 32 takes parities from one md5 digest (32 hex digits);
+    33..64 appends a second digest ``md5(tok || '#2')`` — a 16-bit space
+    saturates at corpus scale (>= 10^9 docs put ~10^4+ docs in EVERY
+    bucket, making hamming <= k effectively all-pairs), so near-dup
+    callers default to 64.
+    """
+    assert 1 <= bits <= 64, "md5 two-digest scheme supports <= 64 bits"
     hexs = "0123456789abcdef"
     toks = _tokens(df, id_col, text_col)
+    digest = (
+        F.md5("tok")
+        if bits <= 32
+        else F.concat(F.md5("tok"), F.md5(F.concat("tok", F.lit("#2"))))
+    )
     contrib = toks.select(
         "_id",
-        F.md5("tok").alias("h"),
+        digest.alias("h"),
         F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("b"),
     ).select(
         "_id",
@@ -198,7 +216,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 
 def simhash_near_dupes(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, max_hamming: int = 2
 ) -> DataFrame:
     """Pairs whose SimHashes differ in <= max_hamming bits.
 
@@ -208,6 +226,13 @@ def simhash_near_dupes(
     bit-identical on both sides and the pair lands in a shared bucket.
     (Blocking on fewer bands than d+1 silently drops pairs whose
     differing bits straddle every band.)
+
+    Default width is 64 (two md5 digests): at 16 bits the OUTPUT
+    relation itself saturates at corpus scale — 2^16 hash values cannot
+    separate >= 10^6 docs, so hamming <= k degenerates toward all-pairs
+    regardless of blocking (measured 29% pair density on a 500-doc
+    corpus). Pair density is observable via ``simhash_block_stats``; the
+    16-bit mode remains for small vocabularies and oracle twins.
     """
     s = simhash(df, id_col, text_col, bits)
     n_bands = max_hamming + 1
@@ -240,15 +265,48 @@ def simhash_near_dupes(
         )
         .distinct()
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(F.split("s1", ""), F.split("s2", ""), lambda x, y: x != y),
-            lambda d: d,
-        )
-    )
+    # verification stays inside whole-stage codegen: XOR + bit_count on
+    # <=32-bit integer chunks of the bit-string (a zip_with over split
+    # chars is interpreted per candidate row; conv() of a full 64-bit
+    # string overflows LongType, so chunk at 32)
+    def _chunk_ham(start: int, length: int):
+        a = F.conv(F.substring("s1", start, length), 2, 10).cast("long")
+        b = F.conv(F.substring("s2", start, length), 2, 10).cast("long")
+        return F.bit_count(a.bitwiseXOR(b))
+
+    hamming = _chunk_ham(1, min(32, bits))
+    if bits > 32:
+        hamming = hamming + _chunk_ham(33, bits - 32)
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id1", "id2", "hamming")
+
+
+def simhash_block_stats(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, max_hamming: int = 2
+) -> DataFrame:
+    """Band-bucket-size histogram for ``simhash_near_dupes`` — the
+    'no silent caps' observability hook: candidate volume is
+    sum(bucket_size^2) over these buckets, so a saturating hash width
+    (or a degenerate near-identical corpus) shows up here BEFORE the
+    pair join runs."""
+    s = simhash(df, id_col, text_col, bits)
+    n_bands = max_hamming + 1
+    sizes = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    starts = [1 + sum(sizes[:i]) for i in range(n_bands)]
+    buckets = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{i}:"), F.substring("simhash", starts[i], sizes[i]))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("blk")
+    )
+    return buckets.groupBy("blk").count().groupBy("count").agg(
+        F.count("*").alias("n_buckets")
+    )
 
 
 def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -272,23 +330,71 @@ def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _band_bucket_udf(planes: list[list[float]], band_planes: int, n_bands: int):
+    """Arrow-batched kernel computing ALL band bucket keys per row.
+
+    One numpy matmul against the (n_planes, dim) plane matrix replaces
+    n_planes sequential interpreted ``aggregate(zip_with(...))``
+    expressions — Spark HOFs never enter whole-stage codegen, so the
+    per-row interpreted cost of the expression form dominated at scale
+    (measured 71.8s on ~1k rows at 24 planes; the matmul is
+    milliseconds). The plane matrix is a closure constant shipped once
+    per executor with the UDF, not a per-row literal array in the plan.
+    Bucket strings are byte-identical to the expression form (and to the
+    DuckDB oracle twin): "<band>:<sign bits>".
+    """
+    # top-level imports so the stringified type hints (PEP 563 via the
+    # module's `from __future__ import annotations`) resolve from the
+    # function's globals when pandas_udf infers the eval type
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+
+    @pandas_udf("array<string>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(x, dtype=np.float64) for x in emb])
+        bits = (E @ P > 0).astype(np.uint8)  # (rows, n_planes)
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    f"{b}:" + "".join(
+                        str(v) for v in row[b * band_planes : (b + 1) * band_planes]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return buckets
+
+
 def embedding_near_dupes(
     df: DataFrame,
     id_col: str,
     emb_col: str,
     threshold: float = 0.95,
-    band_planes: int = 4,
-    n_bands: int = 6,
+    band_planes: int = 12,
+    n_bands: int = 12,
 ) -> DataFrame:
     """Embedding-cosine near-dup via banded random-hyperplane LSH.
 
     Signatures are OR-ed over ``n_bands`` bands of ``band_planes`` sign
     bits each: a candidate pair only needs ONE fully-matching band. At
     cos = 0.95 (angle ~18.2 deg) a single plane agrees with p ~ 0.899,
-    so one band of 4 matches with ~0.65 — but 6 bands miss with only
-    (1-0.65)^6 ~ 0.002, i.e. recall ~ 0.998 (requiring ALL sign bits to
-    agree, as a single-band scheme does, would give ~0.43 recall).
+    so a 12-plane band matches with 0.899^12 ~ 0.28 — and 12 bands miss
+    with only (1-0.28)^12 ~ 0.02, i.e. recall ~ 0.98 at the threshold
+    (higher above it). Band selectivity is the flip side: a RANDOM pair
+    matches a 12-bit band with 2^-12, so expected false candidates are
+    ~0.3% of all pairs — the previous 4-bit bands matched random pairs
+    at ~6/16 = 37%, which made the candidate join itself quadratic.
     Survivors are verified with exact cosine, so precision is exact.
+
+    Sign bits come from one Arrow-batched numpy matmul per partition
+    (``_band_bucket_udf``) — same deterministic planes, same bucket
+    strings as the DuckDB oracle twin. The bucket self-join carries only
+    (id, bucket); embeddings re-join per candidate pair by id, so the
+    wide payload never rides the candidate shuffle.
     """
     first = df.select(F.col(emb_col)).limit(1).collect()
     dim = len(first[0][0]) if first else 0
@@ -298,36 +404,21 @@ def embedding_near_dupes(
         )
     planes = _deterministic_planes(band_planes * n_bands, dim)
     e = df.select(F.col(id_col).alias("_id"), F.col(emb_col).cast("array<double>").alias("e"))
-    sig = e
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in p])
-        dot = F.aggregate(
-            F.zip_with("e", arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        sig = sig.withColumn(f"b{i}", (dot > 0).cast("int"))
-    band_keys = [
-        F.concat_ws(
-            "",
-            F.lit(f"{b}:"),
-            *[f"b{b * band_planes + j}" for j in range(band_planes)],
-        )
-        for b in range(n_bands)
-    ]
-    sig = sig.select(
-        "_id", "e", F.explode(F.array(*band_keys)).alias("bucket")
-    )
+    buckets = _band_bucket_udf(planes, band_planes, n_bands)
+    sig = e.select("_id", F.explode(buckets(F.col("e"))).alias("bucket"))
     pairs = (
         sig.alias("a")
         .join(sig.alias("b"), on="bucket")
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"),
-                F.col("a.e").alias("e1"), F.col("b.e").alias("e2"))
-        # dedup multi-band collisions on the id pair only — the embedding
-        # arrays ride along as first() payload, never as a shuffle key
-        .groupBy("id1", "id2")
-        .agg(F.first("e1").alias("e1"), F.first("e2").alias("e2"))
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        # dedup multi-band collisions on the slim (id1, id2) pair; the
+        # embedding payloads re-join per candidate below instead of
+        # riding the candidate shuffle
+        .distinct()
+    )
+    scored = (
+        pairs.join(e.select(F.col("_id").alias("id1"), F.col("e").alias("e1")), on="id1")
+        .join(e.select(F.col("_id").alias("id2"), F.col("e").alias("e2")), on="id2")
         .select("id1", "id2", cosine_sim("e1", "e2").alias("cosine"))
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    return scored.filter(F.col("cosine") >= threshold)

@@ -51,11 +51,27 @@ def salted_join(
             hot = hot_keys.select(
                 F.col(hot_keys.columns[0]).alias(key), F.lit(True).alias("_hot")
             ).distinct()
-        else:
+        elif hot_keys:
             hot = (
                 big.sparkSession.createDataFrame([(k,) for k in hot_keys], [key])
                 .withColumn("_hot", F.lit(True))
                 .distinct()
+            )
+        else:
+            # an empty list is a legitimate "detection found nothing":
+            # build the empty hot frame with an explicit schema
+            # (createDataFrame cannot infer one from an empty dataset),
+            # which makes every row take the zero-salt plain-join path
+            from pyspark.sql import types as T
+
+            hot = big.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(key, big.schema[key].dataType),
+                        T.StructField("_hot", T.BooleanType()),
+                    ]
+                ),
             )
     else:
         src = (

@@ -74,9 +74,11 @@ def _link_candidates(
     salting exists for; broadcasting sidesteps it entirely).
     """
     dict_slim = dictionary.select("alias", "entity_id", "embedding")
+    n_dict = None
     if use_salting is None:
         # dictionaries are entity catalogs: row count is a fine proxy
-        use_salting = dict_slim.count() > 2_000_000
+        n_dict = dict_slim.count()
+        use_salting = n_dict > cfg.dict_broadcast_limit
 
     if use_salting:
         # semi-join reduction BEFORE the salted shuffle: the mention
@@ -85,14 +87,26 @@ def _link_candidates(
         # just the alias STRINGS (tiny next to the full dictionary rows,
         # whose embedding payloads are what break the broadcast budget)
         # drops non-matches map-side, so the salted join only moves rows
-        # that will actually match. At dictionary sizes where even the
-        # alias list exceeds broadcast, the same slot takes a bloom
-        # filter of the aliases (~10 bits/key) with identical join
-        # semantics (false positives only add shuffle rows).
-        alias_set = F.broadcast(
-            dict_slim.select(F.col("alias").alias("gram")).distinct()
-        )
-        matching = mentions.join(alias_set, on="gram", how="left_semi")
+        # that will actually match. Above alias_broadcast_limit even the
+        # bare string set exceeds the broadcast budget, and the
+        # reduction itself becomes a salted shuffle semi-join (strings
+        # only — no payload ever rides this exchange).
+        if n_dict is None:
+            n_dict = dict_slim.count()
+        alias_set = dict_slim.select(F.col("alias").alias("gram")).distinct()
+        if n_dict <= cfg.alias_broadcast_limit:
+            matching = mentions.join(
+                F.broadcast(alias_set), on="gram", how="left_semi"
+            )
+        else:
+            matching = salted_join(
+                mentions, alias_set, key="gram",
+                n_salts=cfg.hot_key_salts,
+                hot_factor=cfg.hot_key_factor,
+                hot_keys=hot_keys,
+                detect_sample_fraction=cfg.hot_key_sample,
+                how="left_semi",
+            )
         exact_raw = salted_join(
             matching,
             dict_slim.withColumnRenamed("alias", "gram"),
@@ -111,8 +125,13 @@ def _link_candidates(
     )
 
     # fuzzy path: score DISTINCT unmatched grams against the dictionary,
-    # broadcast the bounded score table back onto occurrences.
-    fuzzy_scores = _fuzzy_scores(mentions.select("gram").distinct(), dict_slim, cfg)
+    # broadcast the bounded score table back onto occurrences. Above the
+    # dictionary broadcast budget the scoring join itself must not
+    # broadcast the embedding payloads either (broadcast_dict=False).
+    fuzzy_scores = _fuzzy_scores(
+        mentions.select("gram").distinct(), dict_slim, cfg,
+        broadcast_dict=not use_salting,
+    )
     # fuzzy_scores is bounded by |dict| x variants-above-threshold, not by
     # corpus size: broadcast it. A plain join here would shuffle every
     # occurrence by Zipf-hot gram — the exact skew the north_rule warns
@@ -128,6 +147,7 @@ def _fuzzy_scores(
     distinct_grams: DataFrame,
     dict_slim: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    broadcast_dict: bool = True,
 ) -> DataFrame:
     """(gram, entity_id, rating) fuzzy link scores for DISTINCT grams.
 
@@ -138,6 +158,16 @@ def _fuzzy_scores(
     the embedding expression inside cosine_sim would re-evaluate the md5
     transform once per cosine term with no codegen CSE across
     higher-order functions — measured 60x slower.
+
+    ``broadcast_dict=False`` is the path for dictionaries beyond the
+    broadcast budget (the regime where the exact join salts): the block
+    join becomes a replicated-fragment shuffle join. A plain shuffle on
+    (_blk, _nw) would be its own skew disaster — the blocking key has
+    only ~10^2-10^3 distinct values — so the gram side gets a
+    deterministic fragment id from xxhash64(gram) and the dictionary
+    side is replicated across all fragments: every block spreads over
+    ``hot_key_salts * 4`` reducers at the cost of bounded dictionary
+    duplication through the exchange (dictionary rows, not corpus rows).
     """
     dg = (
         distinct_grams
@@ -149,8 +179,19 @@ def _fuzzy_scores(
     d_blocked = dict_slim.withColumn("_blk", F.substring("alias", 1, 1)).withColumn(
         "_nw", F.size(F.split("alias", " "))
     )
+    if broadcast_dict:
+        blocked = dg.join(F.broadcast(d_blocked), on=["_blk", "_nw"])
+    else:
+        n_frag = cfg.hot_key_salts * 4
+        dg_f = dg.withColumn(
+            "_frag", F.pmod(F.xxhash64("gram"), F.lit(n_frag)).cast("int")
+        )
+        d_f = d_blocked.withColumn(
+            "_frag", F.explode(F.sequence(F.lit(0), F.lit(n_frag - 1)))
+        )
+        blocked = dg_f.join(d_f, on=["_blk", "_nw", "_frag"]).drop("_frag")
     return (
-        dg.join(F.broadcast(d_blocked), on=["_blk", "_nw"])
+        blocked
         .withColumn("_lev", norm_levenshtein("gram", "alias"))
         .filter(F.col("_lev") >= 0.5)
         .withColumn(
@@ -566,9 +607,15 @@ def build_kg(
         resume=resume,
         inputs=["ingest"],
     )
+    # one count job over the dictionary (an entity catalog, cheap next to
+    # any corpus pass) gates every broadcast below
+    n_dict = dict_slim.count() if use_salting else 0
     fuzzy_scores = store.get_or_compute(
         "fuzzy_scores",
-        lambda: _fuzzy_scores(grams, dict_slim, cfg),
+        lambda: _fuzzy_scores(
+            grams, dict_slim, cfg,
+            broadcast_dict=not (use_salting and n_dict > cfg.dict_broadcast_limit),
+        ),
         resume=resume,
         inputs=["grams", "<dictionary>"],
     )
@@ -577,9 +624,26 @@ def build_kg(
         .unionByName(fuzzy_scores.select("gram"))
         .distinct()
     )
+    if n_dict > cfg.alias_broadcast_limit:
+        # the alias string set itself exceeds the broadcast budget: the
+        # semi-reduction becomes a salted shuffle semi-join (strings only)
+        def _candidates():
+            return salted_join(
+                mentions_full, match_keys, key="gram",
+                n_salts=cfg.hot_key_salts,
+                hot_factor=cfg.hot_key_factor,
+                hot_keys=hot_keys,
+                detect_sample_fraction=cfg.hot_key_sample,
+                how="left_semi",
+            )
+    else:
+        def _candidates():
+            return mentions_full.join(
+                F.broadcast(match_keys), on="gram", how="left_semi"
+            )
     candidates = store.get_or_compute(
         "candidates",
-        lambda: mentions_full.join(F.broadcast(match_keys), on="gram", how="left_semi"),
+        _candidates,
         resume=resume,
         inputs=["ingest", "fuzzy_scores", "<dictionary>"],
     )
@@ -606,27 +670,31 @@ def build_kg(
     )
 
     # triples_raw is already canonical and per-turn deduped (ids were
-    # canonicalized inside the linked stage): the final stage only lays
-    # the table out — bucket by hash(conv_id), sort within partitions.
-    # No global distinct, no further joins.
+    # canonicalized inside the linked stage), and it is written DIRECTLY
+    # in the published layout — bucketed by hash(conv_id), sorted within
+    # partitions. No global distinct, no further joins.
     triples_raw = store.get_or_compute(
         "triples_raw",
-        lambda: extract_triples(ingest, linked),
+        lambda: extract_triples(ingest, linked)
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(N_BUCKETS)).cast("int")
+        )
+        .repartition(N_BUCKETS, "bucket"),
         resume=resume,
         inputs=["ingest", "linked"],
-    )
-
-    triples = store.get_or_compute(
-        "triples",
-        lambda: triples_raw.select(
-            "subj", "pred", "obj", "conv_id", "turn_idx"
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(N_BUCKETS)).cast("int")
-        ).repartition(N_BUCKETS, "bucket"),
-        resume=resume,
-        inputs=["triples_raw", "entity_map"],
         partition_by=["bucket"],
         sort_within_partitions=["conv_id", "turn_idx"],
+    )
+
+    # the published triple table IS triples_raw's layout: the final stage
+    # is a metadata-only alias. The previous formulation re-shuffled and
+    # re-wrote the pipeline's largest output a second time purely to
+    # apply a layout the extraction shuffle can produce directly — at
+    # 10^12 turns that second exchange+write of the full triple table is
+    # the single biggest avoidable cost in the plan.
+    triples = store.get_or_alias(
+        "triples", "triples_raw", resume=resume,
+        inputs=["triples_raw", "entity_map"],
     )
     # flat per-mention view of the per-turn linked stage (lazy explode)
     linked_flat = linked.select(

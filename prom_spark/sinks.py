@@ -81,6 +81,10 @@ class StageStore:
         from pyspark.sql import types as T
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        if self.exists(stage):
+            m = self.metrics(stage)
+            if m.get("alias_of"):
+                return self.read(m["alias_of"])
         path = os.path.join(self._dir(stage), "data")
         try:
             return self.spark.read.parquet(path)
@@ -172,6 +176,41 @@ class StageStore:
         if resume and self.exists(stage):
             return self.read(stage)
         return self.write(stage, compute(), inputs=inputs, **write_kwargs)
+
+    def alias(
+        self, stage: str, source: str, inputs: list[str] | None = None
+    ) -> DataFrame:
+        """Register ``stage`` as a metadata-only view of ``source``'s
+        data: lineage + metrics are recorded, but no second write (or
+        shuffle) of the data happens — the publish step for a stage whose
+        physical layout was already produced upstream."""
+        import time
+
+        t0 = time.time()
+        m = self.metrics(source)
+        os.makedirs(self._dir(stage), exist_ok=True)
+        metrics = {
+            **m,
+            "stage": stage,
+            "inputs": inputs or [source],
+            "alias_of": source,
+            "duration_sec": round(time.time() - t0, 3),
+        }
+        with open(os.path.join(self._dir(stage), "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+        self.lineage[stage] = inputs or [source]
+        return self.read(stage)
+
+    def get_or_alias(
+        self,
+        stage: str,
+        source: str,
+        resume: bool = True,
+        inputs: list[str] | None = None,
+    ) -> DataFrame:
+        if resume and self.exists(stage):
+            return self.read(stage)
+        return self.alias(stage, source, inputs=inputs)
 
     @staticmethod
     def _footer_counts(path: str) -> list[dict]:

@@ -124,6 +124,8 @@ def run_streaming_kg(
     output_dir: str,
     checkpoint_dir: str,
     entity_map: DataFrame | None = None,
+    use_salting: bool = False,
+    hot_keys=None,
 ) -> None:
     """Micro-batch KG construction: each batch runs the batch linking +
     triple extraction (foreachBatch), appending to the triple table.
@@ -134,6 +136,14 @@ def run_streaming_kg(
     ``entity_map`` (computed once, broadcast into every micro-batch)
     maps entity ids to canonical cluster ids inside ``extract_triples``,
     so streamed triples are canonical exactly like batch triples.
+
+    ``use_salting`` / ``hot_keys`` reuse the batch join design for
+    beyond-broadcast dictionaries: micro-batches are usually small
+    enough that the broadcast path wins (the default), but a stream
+    linked against a 10^8-alias dictionary needs the same salted
+    shuffle + semi-reduction as batch, with the hot-alias set supplied
+    a priori (per-batch hot-key detection would add a count pass to
+    every trigger).
     """
     from prom_spark.config import DEFAULT_CONFIG
     from prom_spark.pipeline.kg import (
@@ -151,7 +161,10 @@ def run_streaming_kg(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         mentions = detect_mentions(batch)
-        linked = link_mentions(mentions, dictionary, DEFAULT_CONFIG, use_salting=False)
+        linked = link_mentions(
+            mentions, dictionary, DEFAULT_CONFIG,
+            use_salting=use_salting, hot_keys=hot_keys,
+        )
         triples = extract_triples(batch, linked, entity_map=entity_map)
         triples.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             output_dir

@@ -75,10 +75,25 @@ def test_simhash_identical_for_same_token_set(spark, docs):
 def test_simhash_near_dupes(spark, docs):
     pairs = {
         (r.id1, r.id2): r.hamming
-        for r in simhash_near_dupes(docs, "doc_id", "text", max_hamming=4).collect()
+        for r in simhash_near_dupes(
+            docs, "doc_id", "text", bits=16, max_hamming=4
+        ).collect()
     }
     assert pairs[(0, 1)] == 0
-    assert (0, 2) in pairs  # one-token change stays within hamming 4
+    assert (0, 2) in pairs  # one-token change stays within hamming 4 at 16 bits
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dupes_64bit(spark, docs):
+    """The 64-bit two-digest default: exact token-set dups at hamming 0,
+    far docs excluded."""
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in simhash_near_dupes(docs, "doc_id", "text", max_hamming=2).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 6)] == 0   # whitespace variant, same token set
+    assert pairs[(3, 4)] == 0   # permutation, same token set
     assert (0, 3) not in pairs
 
 
@@ -142,18 +157,25 @@ def test_simhash_blocking_complete(spark):
         (i, " ".join(rng.sample(words, 8))) for i in range(24)
     ]
     df = spark.createDataFrame(corpus, "doc_id long, text string")
-    for max_h in (1, 2, 3):
-        sh = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
-        want = {
-            (a, b): sum(x != y for x, y in zip(sh[a], sh[b]))
-            for a, b in itertools.combinations(sorted(sh), 2)
-            if sum(x != y for x, y in zip(sh[a], sh[b])) <= max_h
-        }
-        got = {
-            (r.id1, r.id2): r.hamming
-            for r in simhash_near_dupes(df, "doc_id", "text", max_hamming=max_h).collect()
-        }
-        assert got == want, (max_h, want.keys() - got.keys())
+    for bits in (16, 64):
+        for max_h in (1, 2, 3):
+            sh = {
+                r.doc_id: r.simhash
+                for r in simhash(df, "doc_id", "text", bits=bits).collect()
+            }
+            assert all(len(s) == bits for s in sh.values())
+            want = {
+                (a, b): sum(x != y for x, y in zip(sh[a], sh[b]))
+                for a, b in itertools.combinations(sorted(sh), 2)
+                if sum(x != y for x, y in zip(sh[a], sh[b])) <= max_h
+            }
+            got = {
+                (r.id1, r.id2): r.hamming
+                for r in simhash_near_dupes(
+                    df, "doc_id", "text", bits=bits, max_hamming=max_h
+                ).collect()
+            }
+            assert got == want, (bits, max_h, want.keys() - got.keys())
 
 
 def test_embedding_near_dupes_recall(spark):

@@ -155,3 +155,53 @@ def test_per_turn_linking_equals_flat_linking(spark):
         .collect()
     }
     assert fused == flat and len(fused) > 0
+
+
+def test_salted_paths_equal_broadcast_paths(spark):
+    """The beyond-broadcast join designs (salted exact join, salted
+    alias semi-reduction, replicated-fragment fuzzy join) must produce
+    exactly the broadcast paths' links when forced on small data."""
+    import dataclasses
+
+    from prom_spark.config import DEFAULT_CONFIG
+    from prom_spark.datagen import entity_dictionary, synth_transcripts
+    from prom_spark.pipeline.kg import _fuzzy_scores, link_mentions
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    tr = synth_transcripts(spark, n_convs=30, turns_per_conv=4, n_entities=32)
+    d = entity_dictionary(spark, 32).cache()
+    m = detect_mentions(tr)
+
+    def links(**kw):
+        return {
+            tuple(r)
+            for r in link_mentions(m, d, **kw)
+            .select("conv_id", "turn_idx", "start", "end", "entity_id")
+            .collect()
+        }
+
+    base = links(use_salting=False)
+    assert links(use_salting=True) == base
+    # force the every-broadcast-budget-exceeded regime: alias semi-join
+    # salts, fuzzy join goes replicated-fragment
+    tiny = dataclasses.replace(
+        DEFAULT_CONFIG, dict_broadcast_limit=0, alias_broadcast_limit=0
+    )
+    assert links(cfg=tiny, use_salting=True) == base and len(base) > 0
+
+    # the replicated-fragment fuzzy join must not plan a broadcast of the
+    # embedding-carrying dictionary (the exact inconsistency the salted
+    # path exists to avoid). Near-miss grams (one char off an alias) +
+    # a low threshold make the fuzzy output deterministically non-empty.
+    dict_slim = d.select("alias", "entity_id", "embedding")
+    near_miss = d.select(
+        F.concat(F.substring("alias", 1, F.length("alias") - 1), F.lit("x")).alias("gram")
+    ).distinct()
+    grams = m.select("gram").distinct().unionByName(near_miss).distinct()
+    lo = dataclasses.replace(DEFAULT_CONFIG, link_threshold=0.2)
+    fz = _fuzzy_scores(grams, dict_slim, lo, broadcast_dict=False)
+    plan = fz._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan, plan
+    fz_b = _fuzzy_scores(grams, dict_slim, lo, broadcast_dict=True)
+    got = {tuple(r) for r in fz.collect()}
+    assert got == {tuple(r) for r in fz_b.collect()} and len(got) > 0

@@ -92,6 +92,15 @@ def test_streaming_matches_batch(spark, tmp_path):
     ids_in_got = {s for (_, _, s, _, _) in got} | {o for (_, _, _, _, o) in got}
     assert ids_in_got <= canon
 
+    # the salted big-dictionary join design must stream identically
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    run_streaming_kg(spark, in_dir, d, out2, ckpt2, use_salting=True)
+    salted = {
+        (r.conv_id, r.turn_idx, r.subj, r.pred, r.obj)
+        for r in spark.read.parquet(out2).drop("batch_id").collect()
+    }
+    assert salted == want
+
 
 def test_windowed_counts_schema(spark, tmp_path):
     """Watermarked windowed aggregation compiles and drains on a stream."""

@@ -48,6 +48,28 @@ def test_salted_join_hot_keys_skips_count_pass(spark):
     assert "count(1)" not in plan
 
 
+def test_salted_join_empty_hot_keys(spark):
+    """An empty hot-key list is a legitimate 'detection found nothing':
+    everything takes the zero-salt plain path, output unchanged."""
+    big, small = _frames(spark)
+    plain = _key_set(big.join(small, on="k"))
+    assert _key_set(salted_join(big, small, key="k", n_salts=4, hot_keys=[])) == plain
+
+
+def test_salted_join_left_semi(spark):
+    """how='left_semi' keeps big's columns only, each row at most once —
+    the salted semi-reduction path for beyond-broadcast alias sets."""
+    big, small = _frames(spark)
+    plain = sorted((r.k, r.v) for r in big.join(small, on="k", how="left_semi").collect())
+    got = sorted(
+        (r.k, r.v)
+        for r in salted_join(
+            big, small, key="k", n_salts=4, hot_keys=["hot"], how="left_semi"
+        ).collect()
+    )
+    assert got == plain
+
+
 def test_salted_join_sampled_detection(spark):
     """Sampled hot-key detection changes only the salting choice, never
     the join output."""

@@ -38,6 +38,16 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _git_rev() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 def _spin(n: int) -> float:
     t0 = time.time()
     x = 0
@@ -135,22 +145,30 @@ def _one_bench_run(cpus: int, convs: int) -> dict:
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
     # append the raw rep to a log so bests can accumulate across harness
-    # invocations (the host's bad phases can outlast one invocation)
+    # invocations (the host's bad phases can outlast one invocation);
+    # stamped with the git revision + workload so bests never silently
+    # mix code versions or input sizes
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "reps.jsonl"), "a") as f:
-        f.write(json.dumps({"cpus": cpus, **r}) + "\n")
+        f.write(json.dumps({"cpus": cpus, "git_rev": _git_rev(), **r}) + "\n")
     return r
 
 
-def best_from_rep_log(n: int) -> tuple[dict | None, dict | None]:
-    """Best recorded rep per level from BENCH/reps.jsonl (same code, same
-    protocol — the reps just span invocations)."""
+def best_from_rep_log(n: int, convs: int) -> tuple[dict | None, dict | None]:
+    """Best recorded rep per level from BENCH/reps.jsonl, restricted to
+    reps from the CURRENT git revision and workload size — accumulated
+    bests must never mix code versions or input sizes."""
     path = os.path.join(REPO, "BENCH", "reps.jsonl")
+    rev = _git_rev()
     best = {n: None, 4 * n: None}
     if os.path.exists(path):
         for line in open(path):
             r = json.loads(line)
             c = r.pop("cpus")
+            if r.pop("git_rev", None) != rev or r.get("kg_turns") != convs * int(
+                os.environ.get("PROM_BENCH_KG_TURNS", "10")
+            ):
+                continue
             if c in best and (
                 best[c] is None
                 or r["kg_triples_per_sec"] > best[c]["kg_triples_per_sec"]
@@ -187,7 +205,12 @@ def main() -> None:
     ra_ceiling = random_access_calibration(n)
     if reps > 0:
         run_bench_interleaved(n, convs, reps)
-    lo, hi = best_from_rep_log(n)
+    lo, hi = best_from_rep_log(n, convs)
+    if lo is None or hi is None:
+        sys.exit(
+            f"no comparable reps in BENCH/reps.jsonl for git_rev={_git_rev()} "
+            f"convs={convs} at levels {n}/{4*n} — run with reps >= 1"
+        )
     thr_lo = lo["kg_triples_per_sec"]
     thr_hi = hi["kg_triples_per_sec"]
     eff = (thr_hi / thr_lo) / 4.0
@@ -226,6 +249,33 @@ def main() -> None:
         f"| {st} | {v[f'sec_{n}c']} | {v[f'sec_{4*n}c']} | {v['efficiency']} |"
         for st, v in stage_eff.items()
     ) or "| (stage metrics unavailable) | | | |"
+    # narrative derived from the SAME stage_eff dict the table prints —
+    # the prose can never contradict the table it sits next to
+    if stage_eff:
+        total_lo = sum(v[f"sec_{n}c"] for v in stage_eff.values()) or 1.0
+        ranked = sorted(stage_eff.items(), key=lambda kv: kv[1]["efficiency"])
+        worst = ranked[0]
+        best = ranked[-1]
+        heavy = sorted(
+            stage_eff.items(), key=lambda kv: -kv[1][f"sec_{n}c"]
+        )[:3]
+        stage_narrative = (
+            f"Reading the table: the best-scaling stage is `{best[0]}` at "
+            f"{best[1]['efficiency']}, the worst is `{worst[0]}` at "
+            f"{worst[1]['efficiency']}; the three largest wall-time shares at "
+            f"{n}c are "
+            + ", ".join(
+                f"`{st}` ({v[f'sec_{n}c']}s, {100 * v[f'sec_{n}c'] / total_lo:.0f}% "
+                f"of stage wall, efficiency {v['efficiency']})"
+                for st, v in heavy
+            )
+            + ". Stages whose efficiency sits at or above the host's "
+            "bandwidth/random-access ceilings are scaling as well as this "
+            "single box physically allows; the end-to-end number is the "
+            "stage-wall-weighted blend of the rows above."
+        )
+    else:
+        stage_narrative = "(stage metrics unavailable)"
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 north_rule: throughput scaling efficiency >= 0.8 between N and 4N
@@ -295,22 +345,18 @@ are plain multiprocessing, no Spark, no JVM):
 Pure CPU scales near-linearly on this box; memory-subsystem workloads
 do not — sequential bandwidth and concurrent random access both run
 into the single shared memory controller (a multi-node cluster adds one
-per node). The attribution table shows the engine's stages span exactly
-that range: the codegen-heavy narrow stages (ingest, triples_raw,
-triples) sit at 0.8+, mention detection (tokenize + gram explode) at
-~0.72, and the one stage that moves the full candidate stream through a
-salted shuffle (linked) binds at ~0.47 — between the bandwidth and
-random-access ceilings, which is what a shuffle is. Per-stage CPU
-accounting shows full core utilization at both levels with per-task
-CPU-seconds inflating at the higher level — stall cycles from contended
-memory, not idle cores, not GC, not algorithmic serialization (no
-driver-side data path exists; every stage is shuffle-partitioned).
-Round-over-round, attribution drove the number: round 1 measured 0.404
-(2->8 cores); the per-stage table exposed a pathological regex-split in
-the tokenizer (one stage flat at ~70s across core counts) and then the
-mention-stream materialization as the I/O binder — fixing both moved
-the engine to 0.648 (2->8) and 0.681 (4->16) against host memory
-ceilings far below either number.
+per node). {stage_narrative}
+
+Per-stage CPU accounting shows full core utilization at both levels
+with per-task CPU-seconds inflating at the higher level — stall cycles
+from contended memory, not idle cores, not GC, not algorithmic
+serialization (no driver-side data path exists; every stage is
+shuffle-partitioned). Round-over-round, attribution drove the number:
+round 1 measured 0.404 (2->8 cores); the per-stage table exposed a
+pathological regex-split in the tokenizer (one stage flat at ~70s
+across core counts) and then the mention-stream materialization as the
+I/O binder — fixing both moved round 2 to 0.648 (2->8) and 0.681
+(4->16) against host memory ceilings far below either number.
 
 A cluster of N→4N EXECUTORS — the regime the north_rule targets — adds a
 cache/memory subsystem with every node, so this single-box ceiling does
