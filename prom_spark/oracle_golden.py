@@ -20,11 +20,208 @@ from __future__ import annotations
 
 from prom_spark import fixtures
 from prom_spark.config import DEFAULT_CONFIG
-from prom_spark.matchers.analysis import analyze_one, normalize_label_py
+from prom_spark.matchers import analysis as _an
 
 CLS = "owl:Class"
 OP = "owl:ObjectProperty"
 DP = "owl:DatatypeProperty"
+
+
+# ---------------------------------------------------------------------------
+# independent SQL re-implementation of the label-analysis rules
+# (tokenize / spell-correct / POS / lemma / passive) — the DuckDB twin no
+# longer embeds analyze_one's Python output; it recomputes the analysis
+# from the RAW fixture labels in SQL, so the tokenizer/lemmatizer itself
+# has a second implementation under the value-hash gate.
+# ---------------------------------------------------------------------------
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words)) + "]"
+
+
+_V = _sql_list(_an.VERB_LEXICON)
+
+
+def _lemma_noun_sql(x: str) -> str:
+    """SQL twin of analysis._lemma_noun over expression ``x``."""
+    return (
+        f"CASE WHEN len({x}) > 3 AND {x} LIKE '%ies' "
+        f"THEN substr({x}, 1, len({x}) - 3) || 'y' "
+        f"WHEN len({x}) > 3 AND regexp_matches({x}, '(s|x|z|ch|sh)es$') "
+        f"THEN substr({x}, 1, len({x}) - 2) "
+        f"WHEN len({x}) > 2 AND {x} LIKE '%s' AND {x} NOT LIKE '%ss' "
+        f"THEN substr({x}, 1, len({x}) - 1) "
+        f"ELSE {x} END"
+    )
+
+
+def _pick_sql(b: str) -> str:
+    """First of (b, b||'e', de-doubled b) in the verb lexicon, else NULL."""
+    ded = f"substr({b}, 1, len({b}) - 1)"
+    return (
+        f"CASE WHEN list_contains({_V}, {b}) THEN {b} "
+        f"WHEN list_contains({_V}, {b} || 'e') THEN {b} || 'e' "
+        f"WHEN len({b}) >= 2 "
+        f"AND substr({b}, len({b}), 1) = substr({b}, len({b}) - 1, 1) "
+        f"AND list_contains({_V}, {ded}) THEN {ded} END"
+    )
+
+
+def _lemma_verb_sql(x: str) -> str:
+    """SQL twin of analysis._lemma_verb over expression ``x``.
+
+    Mirrors the Python control flow exactly: lexicon hit wins; -ies;
+    then suffixes in order (ed, ing, es, s) where ed/ing only return on
+    a lexicon hit (otherwise fall through) while es/s return the bare
+    stem when no candidate hits.
+    """
+    b2, b3 = f"substr({x}, 1, len({x}) - 2)", f"substr({x}, 1, len({x}) - 3)"
+    b1 = f"substr({x}, 1, len({x}) - 1)"
+    return (
+        f"CASE WHEN list_contains({_V}, {x}) THEN {x} "
+        f"WHEN len({x}) > 3 AND {x} LIKE '%ies' THEN {b3} || 'y' "
+        f"WHEN {x} LIKE '%ed' AND len({x}) > 3 AND {_pick_sql(b2)} IS NOT NULL "
+        f"THEN {_pick_sql(b2)} "
+        f"WHEN {x} LIKE '%ing' AND len({x}) > 4 AND {_pick_sql(b3)} IS NOT NULL "
+        f"THEN {_pick_sql(b3)} "
+        f"WHEN {x} LIKE '%es' AND len({x}) > 3 THEN coalesce({_pick_sql(b2)}, {b2}) "
+        f"WHEN {x} LIKE '%s' AND len({x}) > 2 THEN coalesce({_pick_sql(b1)}, {b1}) "
+        f"ELSE {x} END"
+    )
+
+
+def _correct_sql(x: str) -> str:
+    whens = " ".join(
+        f"WHEN {x} = '{bad}' THEN '{good}'"
+        for bad, good in sorted(_an.SPELL_CORRECTIONS.items())
+    )
+    return f"CASE {whens} ELSE {x} END"
+
+
+def _analysis_ctes(k: int, onto: str) -> str:
+    """CTE chain raw{k} -> an{k}s + lem{k} computed entirely in SQL."""
+    prefix = fixtures.A if onto == "a" else fixtures.B
+    rows = [
+        (prefix + frag, elem_type, label)
+        for (o, frag, elem_type, label) in fixtures._LABELS
+        if o == onto
+    ]
+    raw = _values(
+        rows,
+        "iri, elem_type, label",
+        "iri::VARCHAR AS iri, elem_type::VARCHAR AS elem_type, label::VARCHAR AS label",
+    )
+    det = _sql_list(_an.DETERMINERS)
+    aux = _sql_list(_an.AUXILIARIES)
+    adp = _sql_list(_an.ADPOSITIONS)
+    adv = _sql_list(_an.ADVERBS)
+    adj = _sql_list(_an.ADJECTIVES)
+    nno = _sql_list(_an.NOUN_ONLY_OPS)
+    return rf"""
+raw{k} AS ({raw}),
+nrm{k} AS (
+  SELECT iri, elem_type,
+         lower(trim(regexp_replace(regexp_replace(regexp_replace(
+             label, '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+             '[_\-]+', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_label
+  FROM raw{k}),
+tkc{k} AS (
+  SELECT iri, elem_type, norm_label,
+         CASE WHEN norm_label = '' THEN []::VARCHAR[]
+              ELSE list_transform(string_split(norm_label, ' '),
+                                  t -> {_correct_sql('t')}) END AS toks
+  FROM nrm{k}),
+tok{k} AS (
+  SELECT iri, elem_type, len(toks) AS n_raw, u.s.i AS i, u.s.tok AS tok
+  FROM tkc{k}, unnest(list_transform(range(1, len(toks) + 1),
+                                     j -> {{'i': j, 'tok': toks[j]}})) AS u(s)
+  WHERE len(toks) > 1),
+rule{k} AS (
+  SELECT *,
+         CASE WHEN list_contains({det}, tok) THEN 'DET'
+              WHEN list_contains({aux}, tok) THEN 'AUX'
+              WHEN list_contains({adp}, tok) THEN 'ADP'
+              WHEN list_contains({adv}, tok) THEN 'ADV'
+              WHEN list_contains({adj}, tok) THEN 'ADJ'
+              WHEN tok LIKE '%ed' AND list_contains({_V}, {_lemma_verb_sql('tok')})
+                   THEN 'VBN'
+              WHEN elem_type = '{OP}'
+                   AND (list_contains({_V}, tok)
+                        OR list_contains({_V}, {_lemma_verb_sql('tok')}))
+                   THEN 'VB'
+              ELSE 'NOUN' END AS rule
+  FROM tok{k}),
+cls{k} AS (
+  SELECT iri, elem_type, n_raw, i, tok, rule,
+         CASE WHEN rule IN ('VBN', 'VB') THEN 'VERB' ELSE rule END AS pos,
+         CASE WHEN rule IN ('VBN', 'VB') THEN rule ELSE 'XX' END AS tag
+  FROM rule{k}),
+tokl{k} AS (
+  SELECT *,
+         CASE WHEN pos = 'VERB' THEN {_lemma_verb_sql('tok')}
+              WHEN pos = 'NOUN' THEN {_lemma_noun_sql('tok')}
+              ELSE tok END AS lemma
+  FROM cls{k}),
+mseq{k} AS (
+  SELECT iri, elem_type,
+         list(pos ORDER BY i) AS pseq, list(tag ORDER BY i) AS tseq
+  FROM tokl{k} GROUP BY 1, 2),
+mpass{k} AS (
+  SELECT iri, elem_type,
+         CASE WHEN elem_type != '{OP}' THEN NULL ELSE (
+           (
+             -- AUX anywhere before a VBN
+             coalesce(list_position(pseq, 'AUX') <
+               list_max(list_filter(range(1, len(tseq) + 1),
+                                    j -> tseq[j] = 'VBN')), FALSE)
+             -- VERB immediately followed by ADP
+             OR len(list_filter(range(1, len(pseq)),
+                    j -> pseq[j] = 'VERB' AND pseq[j + 1] = 'ADP')) > 0
+             -- any kept NOUN
+             OR list_contains(pseq, 'NOUN')
+           ) AND NOT len(list_filter(range(1, len(pseq)),
+                    j -> pseq[j] = 'NOUN' AND pseq[j + 1] = 'ADP')) > 0
+         ) END AS passive
+  FROM mseq{k}),
+mkept{k} AS (
+  SELECT iri, elem_type, lemma, pos, tag,
+         row_number() OVER (PARTITION BY iri ORDER BY i) - 1 AS seq
+  FROM tokl{k} WHERE pos NOT IN ('DET', 'AUX')),
+single{k} AS (
+  SELECT iri, elem_type, norm_label, toks[1] AS tok FROM tkc{k}
+  WHERE len(toks) = 1),
+skept{k} AS (
+  SELECT iri, elem_type,
+         CASE WHEN elem_type = '{OP}' AND list_contains({nno}, tok) THEN tok
+              WHEN elem_type = '{OP}' THEN {_lemma_verb_sql('tok')}
+              ELSE {_lemma_noun_sql('tok')} END AS lemma,
+         CASE WHEN elem_type = '{OP}' AND NOT list_contains({nno}, tok)
+              THEN 'VERB' ELSE 'NOUN' END AS pos,
+         'XX' AS tag, 0 AS seq,
+         CASE WHEN elem_type != '{OP}' THEN NULL
+              WHEN list_contains({nno}, tok) THEN TRUE ELSE FALSE END AS passive
+  FROM single{k}),
+kept{k} AS (
+  SELECT m.iri, m.elem_type, m.lemma, m.pos, m.tag, m.seq, p.passive
+  FROM mkept{k} m JOIN mpass{k} p USING (iri, elem_type)
+  UNION ALL
+  SELECT iri, elem_type, lemma, pos, tag, seq, passive FROM skept{k}),
+sc{k} AS (
+  SELECT iri, elem_type, any_value(passive) AS passive,
+         count(*) AS n_tokens, count(DISTINCT lemma) AS set_size,
+         string_agg(DISTINCT lemma, ' ' ORDER BY lemma) AS lemma_key
+  FROM kept{k} GROUP BY 1, 2),
+an{k}s AS MATERIALIZED (
+  SELECT n.iri, n.elem_type, n.norm_label,
+         coalesce(s.n_tokens, 0)::INT AS n_tokens, s.passive,
+         coalesce(s.lemma_key, '') AS lemma_key,
+         coalesce(s.set_size, 0)::INT AS set_size
+  FROM nrm{k} n LEFT JOIN sc{k} s USING (iri, elem_type)),
+lem{k} AS MATERIALIZED (
+  SELECT k.iri, k.elem_type, s.n_tokens::INT AS n_tokens, k.passive,
+         s.set_size::INT AS set_size, k.seq::INT AS seq,
+         k.lemma, k.pos, k.tag
+  FROM kept{k} k JOIN sc{k} s USING (iri, elem_type))"""
 
 
 def _lit(v) -> str:
@@ -43,44 +240,11 @@ def _values(rows: list[tuple], cols: str, casts: str) -> str:
     return f"SELECT {casts} FROM (VALUES\n    {body}) AS t({cols})"
 
 
-def _analyzed_rows(onto: str) -> tuple[list[tuple], list[tuple]]:
-    """(scalar rows, exploded lemma rows) for one fixture side."""
-    prefix = fixtures.A if onto == "a" else fixtures.B
-    scalars, lemma_rows = [], []
-    for (o, frag, elem_type, label) in fixtures._LABELS:
-        if o != onto:
-            continue
-        iri = prefix + frag
-        kept, n_tokens, passive = analyze_one(label, elem_type)
-        lemma_set = sorted({lem for (lem, _, _) in kept})
-        scalars.append(
-            (iri, elem_type, normalize_label_py(label), n_tokens, passive,
-             " ".join(lemma_set), len(lemma_set))
-        )
-        for seq, (lemma, pos, tag) in enumerate(kept):
-            lemma_rows.append(
-                (iri, elem_type, n_tokens, passive, len(lemma_set), seq,
-                 lemma, pos, tag)
-            )
-    return scalars, lemma_rows
-
-
 def _fixture_ctes() -> str:
-    """All VALUES CTEs: analyzed labels, alias dict, vocab, axiom scans."""
-    s1, l1 = _analyzed_rows("a")
-    s2, l2 = _analyzed_rows("fr")
-
-    an_cols = "iri, elem_type, norm_label, n_tokens, passive, lemma_key, set_size"
-    an_casts = ("iri::VARCHAR AS iri, elem_type::VARCHAR AS elem_type, "
-                "norm_label::VARCHAR AS norm_label, n_tokens::INT AS n_tokens, "
-                "passive::BOOLEAN AS passive, lemma_key::VARCHAR AS lemma_key, "
-                "set_size::INT AS set_size")
-    lem_cols = "iri, elem_type, n_tokens, passive, set_size, seq, lemma, pos, tag"
-    lem_casts = ("iri::VARCHAR AS iri, elem_type::VARCHAR AS elem_type, "
-                 "n_tokens::INT AS n_tokens, passive::BOOLEAN AS passive, "
-                 "set_size::INT AS set_size, seq::INT AS seq, "
-                 "lemma::VARCHAR AS lemma, pos::VARCHAR AS pos, tag::VARCHAR AS tag")
-
+    """All fixture CTEs: the label analysis is COMPUTED IN SQL from the
+    raw labels (``_analysis_ctes`` — the independent twin of
+    ``analysis.analyze_one``); alias dict, vocab, and axiom scans are
+    VALUES tables (they are input data, not computed logic)."""
     alias_rows: list[tuple] = []
     for x, y in fixtures._SYN_PAIRS_N:
         alias_rows += [(x, "NOUN", "syn", y), (y, "NOUN", "syn", x)]
@@ -131,10 +295,8 @@ def _fixture_ctes() -> str:
                   "functional::BOOLEAN AS functional")
 
     return f"""
-an1s AS ({_values(s1, an_cols, an_casts)}),
-an2s AS ({_values(s2, an_cols, an_casts)}),
-lem1 AS ({_values(l1, lem_cols, lem_casts)}),
-lem2 AS ({_values(l2, lem_cols, lem_casts)}),
+{_analysis_ctes(1, "a")},
+{_analysis_ctes(2, "fr")},
 aliases AS ({_values(alias_rows, "lemma, pos, rel, alias",
                      "lemma::VARCHAR AS lemma, pos::VARCHAR AS pos, "
                      "rel::VARCHAR AS rel, alias::VARCHAR AS alias")}),
