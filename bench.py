@@ -83,6 +83,13 @@ def main() -> None:
         spark, n_convs=KG_CONVS, turns_per_conv=KG_TURNS_PER_CONV, n_entities=256
     )
     dictionary = entity_dictionary(spark, 256)
+    # join-strategy selection: None = auto (the 256-entity bench dictionary
+    # broadcast-fits, so the honest plan is the broadcast join — salting
+    # exists for dictionaries beyond spark's broadcast budget, and forcing
+    # it here measures an exchange no competent plan would run at this
+    # dict:corpus ratio). PROM_BENCH_FORCE_SALTED=1 exercises the salted
+    # path anyway, for skew-handling measurements.
+    salting = True if os.environ.get("PROM_BENCH_FORCE_SALTED") == "1" else None
     if os.environ.get("PROM_BENCH_WARMUP") == "1":
         # untimed warmup at 1/40 scale: compiles the whole-stage-codegen
         # classes and JIT-warms the hot paths so the timed run measures
@@ -93,7 +100,7 @@ def main() -> None:
             turns_per_conv=KG_TURNS_PER_CONV, n_entities=256,
         )
         wbase = tempfile.mkdtemp(prefix="prom_bench_warm_")
-        build_kg(spark, wtr, dictionary, wbase, resume=False)
+        build_kg(spark, wtr, dictionary, wbase, resume=False, use_salting=salting)
         shutil.rmtree(wbase, ignore_errors=True)
     # checkpoints on tmpfs: stage-table bandwidth on a real cluster scales
     # with executors (HDFS/S3); a single local disk does not — it would
@@ -102,7 +109,7 @@ def main() -> None:
     base = tempfile.mkdtemp(prefix="prom_bench_kg_", dir=ckpt_root)
     n_turns = KG_CONVS * KG_TURNS_PER_CONV
     t0 = time.time()
-    result = build_kg(spark, transcripts, dictionary, base, resume=False)
+    result = build_kg(spark, transcripts, dictionary, base, resume=False, use_salting=salting)
     n_triples = result.store.metrics("triples")["rows"]
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)

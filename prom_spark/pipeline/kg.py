@@ -553,10 +553,17 @@ def build_kg(
     base_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     resume: bool = True,
-    use_salting: bool = True,
+    use_salting: bool | None = None,
     hot_keys=None,
 ) -> KgResult:
     """Run (or resume) the full pipeline, checkpointing every stage.
+
+    ``use_salting=None`` (the default) picks the join strategy from the
+    dictionary size, exactly like ``_link_candidates``: a dictionary
+    under ``cfg.dict_broadcast_limit`` broadcasts (no shuffle, skew
+    irrelevant — strictly better than any salting scheme), a larger one
+    takes the salted shuffle path. Pass True/False to force a path
+    (tests; skew-path benchmarking).
 
     ``hot_keys``: optional precomputed hot-alias list (or one-column
     DataFrame) for the salted mention⋈dictionary join — skips the
@@ -609,7 +616,11 @@ def build_kg(
     )
     # one count job over the dictionary (an entity catalog, cheap next to
     # any corpus pass) gates every broadcast below
-    n_dict = dict_slim.count() if use_salting else 0
+    if use_salting is None:
+        n_dict = dict_slim.count()
+        use_salting = n_dict > cfg.dict_broadcast_limit
+    else:
+        n_dict = dict_slim.count() if use_salting else 0
     fuzzy_scores = store.get_or_compute(
         "fuzzy_scores",
         lambda: _fuzzy_scores(

@@ -299,6 +299,14 @@ cannot depress one level's whole phase, best throughput kept per level
 (single runs vary up to 2x on this shared host, and max-throughput is
 the noise-robust capacity estimator).
 
+The dictionary join runs the auto-selected plan: at this dictionary
+size (256 entities, far under the broadcast budget) that is the
+broadcast hash join — the plan any competent deployment would run at
+this dict:corpus ratio. The salted shuffle path (the plan for >2M-row
+dictionaries) is equivalence-tested against it
+(`tests/test_kg_pipeline.py::test_salted_paths_equal_broadcast_paths`)
+and measurable via `PROM_BENCH_FORCE_SALTED=1`.
+
 N = {n} cores models the smallest realistic executor. (Measuring from
 N=2 inverts the comparison for this pipeline: it deliberately
 RECOMPUTES the mention stream instead of materializing its ~65x-corpus

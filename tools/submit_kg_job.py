@@ -11,7 +11,7 @@ Cluster deployment (north_rule: "launched via spark-submit --py-files"):
         --transcripts  <path or catalog.db.table> \\
         --dictionary   <path or catalog.db.table> \\
         --output       <stage-store base dir> \\
-        [--resume] [--no-salting] [--hot-keys alias1,alias2,...]
+        [--resume] [--salting auto|on|off] [--hot-keys alias1,alias2,...]
 
 Reads the transcript table (parquet path or, when the name contains no
 "/", a catalog table — e.g. an Iceberg table), runs the full pipeline
@@ -42,8 +42,10 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="stage-store base directory")
     ap.add_argument("--resume", action="store_true",
                     help="resume from existing stage checkpoints")
-    ap.add_argument("--no-salting", action="store_true",
-                    help="force the broadcast join path for the dictionary")
+    ap.add_argument("--salting", choices=["auto", "on", "off"], default="auto",
+                    help="dictionary join strategy: auto (default — broadcast "
+                         "under the budget, salted shuffle above it), on "
+                         "(force salted), off (force broadcast)")
     ap.add_argument("--hot-keys", default=None,
                     help="comma-separated known-hot aliases (skips detection pass)")
     ap.add_argument("--synthetic", type=int, default=None, metavar="N_CONVS",
@@ -78,7 +80,7 @@ def main() -> None:
         dictionary,
         args.output,
         resume=args.resume,
-        use_salting=not args.no_salting,
+        use_salting={"auto": None, "on": True, "off": False}[args.salting],
         hot_keys=hot,
     )
     metrics = result.store.metrics("triples")
