@@ -39,13 +39,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _git_rev() -> str:
-    try:
-        return subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        ).stdout.strip()
-    except Exception:
-        return "unknown"
+    """Content hash of the code that determines the measured job.
+
+    Hashing ``prom_spark/**/*.py`` + ``bench.py`` instead of the git
+    revision keeps accumulated reps comparable across doc-only commits
+    (the host's bad phases outlast single invocations, so bests must
+    accumulate over hours) while still invalidating them the moment any
+    measured code path changes."""
+    import hashlib
+
+    h = hashlib.sha256()
+    files = [os.path.join(REPO, "bench.py")]
+    for root, _dirs, names in os.walk(os.path.join(REPO, "prom_spark")):
+        files += [os.path.join(root, n) for n in names if n.endswith(".py")]
+    for f in sorted(files):
+        h.update(f.encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return "code:" + h.hexdigest()[:12]
 
 
 def _spin(n: int) -> float:
