@@ -29,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 KG_CONVS = int(os.environ.get("PROM_BENCH_KG_CONVS", "12000"))
 KG_TURNS_PER_CONV = int(os.environ.get("PROM_BENCH_KG_TURNS", "10"))
+# the sandbox host has multi-minute steal-time bursts (identical runs
+# vary up to 3x); the headline KG number is best-of-KG_REPS in-process,
+# with every raw rep reported. tools/scaling_bench.py does its own
+# external interleaved best-of-reps and sets this to 1.
+KG_REPS = int(os.environ.get("PROM_BENCH_KG_REPS", "2"))
 
 
 def main() -> None:
@@ -106,22 +111,32 @@ def main() -> None:
     # with executors (HDFS/S3); a single local disk does not — it would
     # bottleneck the core-scaling measurement at an I/O artifact.
     ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    base = tempfile.mkdtemp(prefix="prom_bench_kg_", dir=ckpt_root)
     n_turns = KG_CONVS * KG_TURNS_PER_CONV
-    t0 = time.time()
-    result = build_kg(spark, transcripts, dictionary, base, resume=False, use_salting=salting)
-    n_triples = result.store.metrics("triples")["rows"]
-    kg_sec = time.time() - t0
+    kg_reps: list[float] = []
+    kg_sec, n_triples, stage_sec = None, 0, {}
+    for _ in range(max(1, KG_REPS)):
+        base = tempfile.mkdtemp(prefix="prom_bench_kg_", dir=ckpt_root)
+        t0 = time.time()
+        result = build_kg(
+            spark, transcripts, dictionary, base, resume=False, use_salting=salting
+        )
+        rep_triples = result.store.metrics("triples")["rows"]
+        rep_sec = time.time() - t0
+        kg_reps.append(round(rep_sec, 3))
+        if kg_sec is None or rep_sec < kg_sec:
+            kg_sec, n_triples = rep_sec, rep_triples
+            # per-stage wall time from the checkpoint metrics (compute +
+            # write) of the best rep: the scaling harness uses these for
+            # per-stage efficiency attribution
+            stage_sec = {}
+            for st in ("ingest", "grams", "fuzzy_scores", "candidates",
+                       "entity_map", "linked", "triples_raw", "triples"):
+                try:
+                    stage_sec[st] = result.store.metrics(st)["duration_sec"]
+                except FileNotFoundError:
+                    pass
+        shutil.rmtree(base, ignore_errors=True)
     timings["kg_pipeline"] = round(kg_sec, 3)
-    # per-stage wall time from the checkpoint metrics (compute + write):
-    # the scaling harness uses these for per-stage efficiency attribution
-    stage_sec = {}
-    for st in ("ingest", "grams", "fuzzy_scores", "candidates", "entity_map", "linked", "triples_raw", "triples"):
-        try:
-            stage_sec[st] = result.store.metrics(st)["duration_sec"]
-        except FileNotFoundError:
-            pass
-    shutil.rmtree(base, ignore_errors=True)
     if "spark.local.dir" in extra:
         shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
 
@@ -137,6 +152,7 @@ def main() -> None:
                 "kg_turns": n_turns,
                 "kg_triples": int(n_triples),
                 "kg_sec": round(kg_sec, 3),
+                "kg_sec_reps": kg_reps,
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "kg_turns_per_sec": round(n_turns / kg_sec, 1),
                 "kg_stage_sec": stage_sec,

@@ -143,6 +143,10 @@ def _one_bench_run(cpus: int, convs: int) -> dict:
         PROM_BENCH_KG_CONVS=str(convs),
         PROM_BENCH_PIN_JVM="1",
         PROM_BENCH_WARMUP="1",
+        # this harness does its own interleaved best-of-reps across
+        # fresh processes; bench.py's in-process best-of-2 would only
+        # double each rep's wall time
+        PROM_BENCH_KG_REPS="1",
     )
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}",
