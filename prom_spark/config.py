@@ -87,6 +87,12 @@ class PipelineConfig:
     # a salted shuffle semi-join (strings only, no payload).
     dict_broadcast_limit: int = 2_000_000
     alias_broadcast_limit: int = 20_000_000
+    # hash(conv_id) bucket count for the ingest/triples layouts. Size to
+    # the deployment: target <= ~1 GB of parquet per bucket, so sf0.1
+    # local runs use the 32 default while a 10^12-turn corpus (~100 TB)
+    # wants ~10^5 buckets — and the bucket count then also bounds write
+    # parallelism, so keep it >= the executor count.
+    n_output_buckets: int = 32
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -40,7 +40,42 @@ from prom_spark.operators.selection import best_candidate_per_left_agg
 from prom_spark.pipeline.mentions import detect_mentions, tokens
 from prom_spark.sinks import StageStore
 
+# default bucket count for local runs; deployments size it via
+# PipelineConfig.n_output_buckets (see config.py for the sizing rule)
 N_BUCKETS = 32
+
+
+def _bucket_layout(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Add the hash(conv_id) ``bucket`` column and repartition for a
+    balanced partitioned write.
+
+    ``repartition(n_buckets, "bucket")`` hash-routes the n distinct
+    bucket values into n partitions — balls-in-bins leaves ~1/e of the
+    write tasks empty and piles 2-3 buckets onto others, a straggler
+    that caps write-stage scaling exactly when buckets ≈ cores (measured
+    0.11-0.22 efficiency 4→16c on the triples write; at the ~10^5
+    buckets of a 100 TB layout the skew washes out, but local runs and
+    small executor pools hit it). Sub-splitting the shuffle key by
+    hash(conv_id) mod k — k sized so composite keys ≫ cores — bounds
+    the longest task at ~1/cores of the data; the writer's
+    ``partitionBy("bucket")`` still routes every row to its bucket
+    directory, so the published layout is unchanged (each bucket dir
+    just holds ~k sorted files instead of 1).
+    """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    split = max(1, -(-8 * cores // n_buckets))
+    out = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+    if split == 1:
+        return out.repartition(n_buckets, "bucket")
+    return (
+        out.withColumn(
+            "_sub", F.pmod(F.xxhash64("conv_id", F.lit(1)), F.lit(split)).cast("int")
+        )
+        .repartition(n_buckets * split, "bucket", "_sub")
+        .drop("_sub")
+    )
 
 
 @dataclass
@@ -571,12 +606,11 @@ def build_kg(
     known a priori.
     """
     store = StageStore(spark, base_dir)
+    n_buckets = getattr(cfg, "n_output_buckets", N_BUCKETS)
 
     ingest = store.get_or_compute(
         "ingest",
-        lambda: transcripts.withColumn(
-            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(N_BUCKETS)).cast("int")
-        ).repartition(N_BUCKETS, "bucket"),
+        lambda: _bucket_layout(transcripts, n_buckets),
         resume=resume,
         inputs=["<source transcripts>"],
         partition_by=["bucket"],
@@ -686,11 +720,7 @@ def build_kg(
     # partitions. No global distinct, no further joins.
     triples_raw = store.get_or_compute(
         "triples_raw",
-        lambda: extract_triples(ingest, linked)
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(N_BUCKETS)).cast("int")
-        )
-        .repartition(N_BUCKETS, "bucket"),
+        lambda: _bucket_layout(extract_triples(ingest, linked), n_buckets),
         resume=resume,
         inputs=["ingest", "linked"],
         partition_by=["bucket"],
