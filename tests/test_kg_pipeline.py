@@ -205,3 +205,34 @@ def test_salted_paths_equal_broadcast_paths(spark):
     fz_b = _fuzzy_scores(grams, dict_slim, lo, broadcast_dict=True)
     got = {tuple(r) for r in fz.collect()}
     assert got == {tuple(r) for r in fz_b.collect()} and len(got) > 0
+
+
+def test_bucket_layout_balanced(spark):
+    """_bucket_layout must (a) route every row to its published bucket
+    directory, (b) engage the composite sub-split when buckets ~ cores so
+    no shuffle partition holds more than ~2 buckets' share of rows, and
+    (c) keep the sub-split a pure layout concern (no schema change)."""
+    from prom_spark.pipeline.kg import _bucket_layout
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 997).cast("string")).alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+    )
+    out = _bucket_layout(df, 32)
+    assert out.columns == ["conv_id", "turn_idx", "bucket"]
+    # bucket is the published hash(conv_id) bucket, unchanged by the split
+    exp = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(32)).cast("int")
+    )
+    assert (
+        out.exceptAll(exp).isEmpty() and exp.exceptAll(out).isEmpty()
+    )
+    # shuffle-partition balance: max partition load bounded well below the
+    # 2-3-buckets-per-task straggler the plain repartition(32, bucket)
+    # layout produces (here cores=4 -> split=1 would be legal, so force
+    # the composite regime by asking for fewer buckets than 8*cores)
+    small = _bucket_layout(df, 4)
+    sizes = small.rdd.glom().map(len).collect()
+    n_rows = df.count()
+    assert max(sizes) < 0.40 * n_rows  # plain hash-on-4-values can hit 0.5+
+    assert sum(sizes) == n_rows

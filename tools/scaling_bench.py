@@ -355,7 +355,11 @@ end-to-end number rather than inferring it from host correlation:
 `entity_map` is a tiny fixed-cost iterative CC over the dictionary
 (independent of corpus size) — its efficiency is expected to be poor and
 its absolute seconds negligible; the corpus-proportional stages
-(mentions, linked, triples_raw) are the meaningful rows.
+(mentions, linked, triples_raw) are the meaningful rows. The former
+`triples` stage no longer appears: the published triple table is a
+metadata-only alias of `triples_raw`, which is written directly in the
+final bucketed-sorted layout (one exchange+write of the largest output
+instead of two).
 
 Host calibration at measurement time, {n}→{4*n} processes (all three
 are plain multiprocessing, no Spark, no JVM):
