@@ -42,7 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
     dictionary = term_dictionary(spark, LINK_TERMS)
     base = tempfile.mkdtemp(prefix="prom_spark_entry_")
     result = build_kg(spark, transcripts, dictionary, base, resume=False)
-    return result.triples
+    # fixed column order: the published layout's bucket column is an
+    # implementation detail of the parquet partitioning, and triples_raw's
+    # natural order changed when the final re-layout stage became an alias
+    return result.triples.select("subj", "pred", "obj", "conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
