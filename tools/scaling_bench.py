@@ -383,7 +383,13 @@ round 1 measured 0.404 (2->8 cores); the per-stage table exposed a
 pathological regex-split in the tokenizer (one stage flat at ~70s
 across core counts) and then the mention-stream materialization as the
 I/O binder — fixing both moved round 2 to 0.648 (2->8) and 0.681
-(4->16) against host memory ceilings far below either number.
+(4->16) against host memory ceilings far below either number. Round 3's
+table then caught the bucketed-write straggler: `repartition(n_buckets,
+bucket)` with buckets ≈ cores leaves ~1/e of write tasks empty
+(balls-in-bins), which pinned `triples_raw` at 0.11-0.22 once task
+waves stopped hiding the skew; sub-splitting the shuffle key
+(`_bucket_layout`, prom_spark/pipeline/kg.py) restored balanced writes
+and removed the second full write of the triple table outright.
 
 A cluster of N→4N EXECUTORS — the regime the north_rule targets — adds a
 cache/memory subsystem with every node, so this single-box ceiling does
