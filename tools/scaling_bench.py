@@ -349,6 +349,20 @@ def main() -> None:
             if sweep[-1]["eff"] > sweep[0]["eff"]
             else "does not yet rise over this range"
         )
+        hi_gain = 100.0 * (sweep[-1]["hi_thr"] / sweep[0]["hi_thr"] - 1.0)
+        lo_gain = 100.0 * (sweep[-1]["lo_thr"] / sweep[0]["lo_thr"] - 1.0)
+        level_trend = (
+            f"Per-turn throughput at the {4 * n}c level grows "
+            f"{hi_gain:+.0f}% from the smallest to the largest input versus "
+            f"{lo_gain:+.0f}% at {n}c: the wide level is where fixed "
+            f"per-stage overhead binds (the same ~8 stage barriers split "
+            f"across 4x the cores), and where growing the input dilutes it. "
+            f"Each cell is an independent best-of-reps against bursty host "
+            f"noise (single runs vary up to 2x), so cells converge at "
+            f"different rates and single-cell efficiency carries ~10% "
+            f"uncertainty; the per-level throughput trend across cells is "
+            f"the robust signal."
+        )
         sweep_section = f"""
 ## Efficiency vs input scale
 
@@ -363,7 +377,8 @@ Fixed per-stage overhead (driver planning, checkpoint write/read
 barriers, task-wave quantization across ~8 stages) is constant per
 level while per-stage work grows with input, so the overhead is a
 larger fraction of the {4 * n}c wall than of the {n}c wall at small
-inputs and measured efficiency {trend} here. The north_rule regime is
+inputs and measured efficiency {trend} here. {level_trend}
+The north_rule regime is
 10^12 turns — {1_000_000_000_000 // max(r['turns'] for r in sweep):,}x
 the largest row — where this fixed-cost dilution is complete and the
 large-input rows are the better predictor.
