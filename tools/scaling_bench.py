@@ -402,7 +402,9 @@ AND `-XX:ActiveProcessorCount=cores` so the JVM's helper threads (GC,
 netty, JIT) are confined to the advertised cores — a faithful simulation
 of an N-core executor host (unpinned local[N] silently borrows the whole
 box for helper threads). One untimed 1/40-scale warmup per process
-compiles codegen/JIT; {reps} timed reps per level, INTERLEAVED
+compiles codegen/JIT; timed reps accumulated across harness invocations
+(BENCH/reps.jsonl, keyed by code-content hash + input size; this
+invocation added {reps} per level), INTERLEAVED
 ({n}c, {4*n}c, {n}c, ...) so a multi-minute hypervisor steal-time burst
 cannot depress one level's whole phase, best throughput kept per level
 (single runs vary up to 2x on this shared host, and max-throughput is
