@@ -56,10 +56,16 @@ def main() -> None:
         # comparison between two N levels is meaningless. Pair with
         # `taskset -c 0-(N-1)` on the process (tools/scaling_bench.py).
         extra["spark.driver.extraJavaOptions"] = f"-XX:ActiveProcessorCount={cpus}"
+    # 4x cores: partitions == cores schedules every shuffle as ONE task
+    # wave, so a single straggler sets the whole stage wall (measured:
+    # the linked/candidates stages ran as fast at 4c as at 16c purely
+    # from this quantization). 4x granularity amortizes stragglers and
+    # is the same rule a cluster submit would use; AQE coalesces any
+    # shuffle that is small for it.
     spark = get_spark(
         app_name="prom_spark_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 16),
+        shuffle_partitions=max(4 * cpus, 16),
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")

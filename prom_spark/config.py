@@ -87,6 +87,14 @@ class PipelineConfig:
     # a salted shuffle semi-join (strings only, no payload).
     dict_broadcast_limit: int = 2_000_000
     alias_broadcast_limit: int = 20_000_000
+    # match-key sets at or under this size are inlined as an InSet
+    # predicate INSIDE the mention arrays (candidate grams filtered
+    # before the explode ever runs — measured 2.5x faster than exploding
+    # the full mention stream through a broadcast semi-join, because only
+    # matching grams are materialized as rows). Above it, the explode +
+    # broadcast/salted semi-join paths take over: a giant InSet literal
+    # bloats the plan, and the driver should not collect unbounded keys.
+    inline_keyset_limit: int = 65_536
     # hash(conv_id) bucket count for the ingest/triples layouts. Size to
     # the deployment: target <= ~1 GB of parquet per bucket, so sf0.1
     # local runs use the 32 default while a 10^12-turn corpus (~100 TB)

