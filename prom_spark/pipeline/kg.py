@@ -40,6 +40,8 @@ from prom_spark.operators.selection import best_candidate_per_left_agg
 from prom_spark.pipeline.mentions import (
     detect_matching_mentions,
     detect_mentions,
+    detect_predicates,
+    distinct_grams,
     tokens,
 )
 from prom_spark.sinks import StageStore
@@ -49,7 +51,7 @@ from prom_spark.sinks import StageStore
 N_BUCKETS = 32
 
 
-def _bucket_layout(df: DataFrame, n_buckets: int) -> DataFrame:
+def _bucket_layout(df: DataFrame, n_buckets: int, keep_sub: bool = False) -> DataFrame:
     """Add the hash(conv_id) ``bucket`` column and repartition for a
     balanced partitioned write.
 
@@ -73,13 +75,16 @@ def _bucket_layout(df: DataFrame, n_buckets: int) -> DataFrame:
     )
     if split == 1:
         return out.repartition(n_buckets, "bucket")
-    return (
-        out.withColumn(
-            "_sub", F.pmod(F.xxhash64("conv_id", F.lit(1)), F.lit(split)).cast("int")
-        )
-        .repartition(n_buckets * split, "bucket", "_sub")
-        .drop("_sub")
-    )
+    out = out.withColumn(
+        "_sub", F.pmod(F.xxhash64("conv_id", F.lit(1)), F.lit(split)).cast("int")
+    ).repartition(n_buckets * split, "bucket", "_sub")
+    # keep_sub: downstream window operators include (bucket, _sub) in
+    # their partition keys so Catalyst recognizes this exchange as
+    # satisfying their distribution (both are functions of conv_id, so
+    # the window frames are still exactly per-conversation) — the layout
+    # shuffle then doubles as the window shuffle and no second exchange
+    # is planned.
+    return out if keep_sub else out.drop("_sub")
 
 
 @dataclass
@@ -336,14 +341,29 @@ def link_mentions_per_turn(
     return _per_turn_select(cand, cfg, entity_map)
 
 
+_CAND_STRUCT = "struct<ts:int,te:int,nr:double,entity_id:string>"
+_PRED_STRUCT = "struct<p:int,tok:string>"
+
+
 def _per_turn_select(
     cand: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     entity_map: DataFrame | None = None,
+    preds: DataFrame | None = None,
 ) -> DataFrame:
     """Scored candidate stream -> (conv_id, turn_idx, ents) in one
     shuffle, canonical ids applied pre-grouping, per-span selection
-    inside the sorted array (see ``link_mentions_per_turn``)."""
+    inside the sorted array (see ``link_mentions_per_turn``).
+
+    ``preds``: optional predicate-occurrence stream (conv_id, turn_idx,
+    gram, start — from ``detect_predicates`` / the fused candidate
+    scan). When given, predicate positions ride the SAME grouping
+    shuffle as extra null-padded rows and the output gains a ``preds``
+    array column — so triple extraction downstream needs no join back to
+    the transcript text at all. Turns whose candidates all fall below
+    the rating threshold are dropped even when they carry predicates
+    (identical row set to the preds-less form — nothing to extract from
+    a turn with no linked entities)."""
     cand = cand.filter(F.col("rating") > cfg.link_threshold)
     if entity_map is not None:
         cand = (
@@ -351,42 +371,74 @@ def _per_turn_select(
             .withColumn("entity_id", F.coalesce("canonical_id", "entity_id"))
             .drop("canonical_id")
         )
-    per_turn = cand.groupBy("conv_id", "turn_idx").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("start").alias("ts"),
-                    F.col("end").alias("te"),
-                    (-F.col("rating")).alias("nr"),
-                    "entity_id",
-                )
-            )
-        ).alias("_cands")
+    cand_struct = F.struct(
+        F.col("start").alias("ts"),
+        F.col("end").alias("te"),
+        (-F.col("rating")).alias("nr"),
+        "entity_id",
     )
     # keep-first per (ts, te) over the sorted array == per-span best
-    return per_turn.select(
+    ents_expr = F.expr(
+        f"""
+        transform(
+          filter(transform(_cands, (c, i) ->
+            IF(i = 0 OR c.ts != _cands[i - 1].ts OR c.te != _cands[i - 1].te,
+               c, NULL)),
+            x -> x IS NOT NULL),
+          c -> CAST(struct(c.ts AS ts, c.te AS te, c.entity_id AS entity_id)
+                    AS {_ENT_STRUCT}))
+        """
+    ).alias("ents")
+    if preds is None:
+        per_turn = cand.groupBy("conv_id", "turn_idx").agg(
+            F.array_sort(F.collect_list(cand_struct)).alias("_cands")
+        )
+        return per_turn.select("conv_id", "turn_idx", ents_expr)
+    rows = cand.select(
         "conv_id",
         "turn_idx",
-        F.expr(
-            f"""
-            transform(
-              filter(transform(_cands, (c, i) ->
-                IF(i = 0 OR c.ts != _cands[i - 1].ts OR c.te != _cands[i - 1].te,
-                   c, NULL)),
-                x -> x IS NOT NULL),
-              c -> CAST(struct(c.ts AS ts, c.te AS te, c.entity_id AS entity_id)
-                        AS {_ENT_STRUCT}))
-            """
-        ).alias("ents"),
+        cand_struct.alias("_c"),
+        F.lit(None).cast(_PRED_STRUCT).alias("_p"),
+    ).unionByName(
+        preds.select(
+            "conv_id",
+            "turn_idx",
+            F.lit(None).cast(_CAND_STRUCT).alias("_c"),
+            F.struct(
+                F.col("start").alias("p"), F.col("gram").alias("tok")
+            ).alias("_p"),
+        )
     )
+    per_turn = (
+        rows.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.array_sort(F.collect_list("_c")).alias("_cands"),
+            F.array_sort(F.collect_list("_p")).alias("preds"),
+        )
+        .filter(F.size("_cands") > 0)
+    )
+    return per_turn.select("conv_id", "turn_idx", ents_expr, "preds")
 
 
 def extract_triples(
-    transcripts: DataFrame,
+    transcripts: DataFrame | None,
     linked: DataFrame,
     entity_map: DataFrame | None = None,
 ) -> DataFrame:
     """Predicate extraction (north_star stage 4).
+
+    Fast path: a ``linked`` frame that already carries BOTH ``ents`` and
+    ``preds`` per-turn arrays (``_per_turn_select(preds=...)`` — the
+    ``build_kg`` shape) needs NO transcript re-scan and NO join at all:
+    predicate positions were detected in the same pass as the mentions
+    and grouped in the same shuffle. ``transcripts`` may be None. If the
+    frame also carries ``bucket``/``_sub`` layout columns (from
+    ``_bucket_layout(keep_sub=True)``), the cross-turn ``follows``
+    window partitions on them too, so the layout exchange upstream
+    satisfies the window's distribution and this whole stage plans as a
+    single exchange: repartition -> sort -> array ops -> explode ->
+    write. The slow path below (flat linked + transcripts) remains for
+    streaming micro-batches and the q25 oracle chain.
 
     Plan shape: ONE shuffle groups linked mentions into a per-turn entity
     array; predicate token positions come straight from the turn text
@@ -413,10 +465,18 @@ def extract_triples(
     canonical mapping is a complete dedup, and the final stage needs no
     global ``distinct`` (a full corpus-wide exchange at 10^12 scale).
     """
-    if "ents" in linked.columns:
+    carry = []
+    if "ents" in linked.columns and "preds" in linked.columns:
+        # fully fused input from _per_turn_select(preds=...): per-turn
+        # entity AND predicate arrays, canonical, span-selected — no
+        # transcript scan, no join
+        carry = [c for c in ("bucket", "_sub") if c in linked.columns]
+        per_turn = linked.select("conv_id", "turn_idx", *carry, "ents", "preds")
+    elif "ents" in linked.columns:
         # per-turn input from link_mentions_per_turn: already canonical,
         # already span-selected — no grouping shuffle needed here
         ents = linked.select("conv_id", "turn_idx", "ents")
+        per_turn = None
     else:
         if entity_map is not None:
             linked = (
@@ -441,23 +501,25 @@ def extract_triples(
                 )
             ).alias("ents")
         )
-    if "_toks" not in transcripts.columns:
-        transcripts = transcripts.withColumn("_toks", tokens(F.col("text")))
-    preds = (
-        transcripts
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.filter(
-                F.transform(
-                    "_toks",
-                    lambda x, i: F.struct(x.alias("tok"), i.cast("int").alias("p")),
-                ),
-                lambda s: s["tok"].isin(*PREDICATES),
-            ).alias("preds"),
+        per_turn = None
+    if per_turn is None:
+        if "_toks" not in transcripts.columns:
+            transcripts = transcripts.withColumn("_toks", tokens(F.col("text")))
+        preds = (
+            transcripts
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.filter(
+                    F.transform(
+                        "_toks",
+                        lambda x, i: F.struct(x.alias("tok"), i.cast("int").alias("p")),
+                    ),
+                    lambda s: s["tok"].isin(*PREDICATES),
+                ).alias("preds"),
+            )
         )
-    )
-    per_turn = ents.join(preds, on=["conv_id", "turn_idx"], how="left")
+        per_turn = ents.join(preds, on=["conv_id", "turn_idx"], how="left")
 
     # within-turn: subj ends at p-1, obj starts at p+1 (or p+2 skipping a
     # determiner). array_distinct replaces the old global distinct — the
@@ -484,7 +546,7 @@ def extract_triples(
     # single explode emits everything. One plan, no union, no recomputed
     # subtree — a union of separately-derived branches would execute the
     # groupBy+join twice.
-    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_conv = Window.partitionBy(*carry, "conv_id").orderBy("turn_idx")
     _EMPTY = "array<struct<subj:string,pred:string,obj:string>>"
     per_turn = (
         per_turn.withColumn(
@@ -514,8 +576,9 @@ def extract_triples(
     return per_turn.select(
         "conv_id",
         "turn_idx",
+        *carry,
         F.explode("turn_triples").alias("t"),
-    ).select("conv_id", "turn_idx", "t.subj", "t.pred", "t.obj")
+    ).select("conv_id", "turn_idx", *carry, "t.subj", "t.pred", "t.obj")
 
 
 def canonicalize_entities(dictionary: DataFrame) -> DataFrame:
@@ -656,7 +719,9 @@ def build_kg(
 
     grams = store.get_or_compute(
         "grams",
-        lambda: mentions_full.select("gram").distinct(),
+        # strings-only distinct with per-turn array_distinct pre-dedup —
+        # equivalence-tested against mentions_full.select("gram").distinct()
+        lambda: distinct_grams(ingest, bigram_first_tokens=first_tokens),
         resume=resume,
         inputs=["ingest"],
     )
@@ -681,6 +746,10 @@ def build_kg(
         .unionByName(fuzzy_scores.select("gram"))
         .distinct()
     )
+    # predicate occurrences ride the candidate stage (kind='p') so the
+    # triple-extraction stage needs no second pass over the corpus text;
+    # the inline plan detects them in the SAME scan, the explode plans
+    # union a dedicated narrow scan
     if n_dict > cfg.alias_broadcast_limit:
         # the alias string set itself exceeds the broadcast budget: the
         # semi-reduction becomes a salted shuffle semi-join (strings only)
@@ -694,6 +763,8 @@ def build_kg(
                 hot_keys=hot_keys,
                 detect_sample_fraction=cfg.hot_key_sample,
                 how="left_semi",
+            ).withColumn("kind", F.lit("m")).unionByName(
+                detect_predicates(ingest, PREDICATES)
             )
     else:
         # three escalating plans, all emitting the identical relation:
@@ -711,13 +782,17 @@ def build_kg(
             cand_plan = "plan:inline-keyset"
 
             def _candidates():
-                return detect_matching_mentions(ingest, inline_keys)
+                return detect_matching_mentions(
+                    ingest, inline_keys, predicates=PREDICATES
+                )
         else:
             cand_plan = "plan:broadcast-semi-join"
 
             def _candidates():
                 return mentions_full.join(
                     F.broadcast(match_keys), on="gram", how="left_semi"
+                ).withColumn("kind", F.lit("m")).unionByName(
+                    detect_predicates(ingest, PREDICATES)
                 )
     candidates = store.get_or_compute(
         "candidates",
@@ -737,11 +812,13 @@ def build_kg(
         "linked",
         lambda: _per_turn_select(
             _score_candidates(
-                candidates, dict_slim, fuzzy_scores, cfg,
+                candidates.filter(F.col("kind") == "m").drop("kind"),
+                dict_slim, fuzzy_scores, cfg,
                 use_salting=use_salting, hot_keys=hot_keys,
             ),
             cfg,
             entity_map,
+            preds=candidates.filter(F.col("kind") == "p"),
         ),
         resume=resume,
         inputs=["candidates", "fuzzy_scores", "<dictionary>", "entity_map"],
@@ -750,12 +827,18 @@ def build_kg(
     # triples_raw is already canonical and per-turn deduped (ids were
     # canonicalized inside the linked stage), and it is written DIRECTLY
     # in the published layout — bucketed by hash(conv_id), sorted within
-    # partitions. No global distinct, no further joins.
+    # partitions. Because `linked` carries the predicate positions, this
+    # stage plans as ONE exchange total: the layout repartition doubles
+    # as the `follows` window's distribution (keep_sub=True threads the
+    # composite key into the window partition keys) — no transcript
+    # re-scan, no join, no global distinct.
     triples_raw = store.get_or_compute(
         "triples_raw",
-        lambda: _bucket_layout(extract_triples(ingest, linked), n_buckets),
+        lambda: extract_triples(
+            None, _bucket_layout(linked, n_buckets, keep_sub=True)
+        ).drop("_sub"),
         resume=resume,
-        inputs=["ingest", "linked"],
+        inputs=["linked"],
         partition_by=["bucket"],
         sort_within_partitions=["conv_id", "turn_idx"],
     )

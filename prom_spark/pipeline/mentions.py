@@ -175,8 +175,13 @@ def detect_mentions(
     return g.filter(~F.col("gram").isin(*STOP_GRAMS))
 
 
+_KGRAM_STRUCT = "struct<gram:string,start:int,end:int,kind:string>"
+
+
 def detect_matching_mentions(
-    transcripts: DataFrame, match_keys: list[str]
+    transcripts: DataFrame,
+    match_keys: list[str],
+    predicates: list[str] | None = None,
 ) -> DataFrame:
     """Mention occurrences whose gram is in ``match_keys`` — the fused
     form of ``detect_mentions(...).join(match_keys, how="left_semi")``
@@ -198,57 +203,156 @@ def detect_matching_mentions(
     (same columns, same rows — equivalence-tested): stop grams are
     excluded from the key set here exactly as ``detect_mentions``
     filters them from the stream.
+
+    ``predicates``: when given, predicate-token occurrences ride the
+    SAME scan as extra rows and the output gains a ``kind`` column
+    ('m' mention / 'p' predicate). Predicate probing matches
+    ``extract_triples``'s direct ``isin(*PREDICATES)`` over the token
+    array — it does NOT apply the stop-gram filter, and a token that is
+    both an alias and a predicate emits both rows. Fusing the predicate
+    scan here is what lets the triple-extraction stage run with no
+    second pass over the corpus text (see kg.extract_triples).
     """
     keys = sorted(set(match_keys) - set(STOP_GRAMS))
     uni_keys = [k for k in keys if " " not in k]
     bi_keys = [k for k in keys if " " in k]
-    _EMPTY = f"array<{_GRAM_STRUCT}>"
+    kinds = predicates is not None
+    struct_t = _KGRAM_STRUCT if kinds else _GRAM_STRUCT
+    _EMPTY = f"array<{struct_t}>"
+
+    def _struct(gram, start, end, kind):
+        fields = [gram.alias("gram"), start.alias("start"), end.alias("end")]
+        if kinds:
+            fields.append(F.lit(kind).alias("kind"))
+        return F.struct(*fields)
+
     if "_toks" not in transcripts.columns:
         transcripts = transcripts.withColumn("_toks", tokens(F.col("text")))
+    parts = []
     if uni_keys:
-        uni = F.filter(
-            F.transform(
-                "_toks",
-                lambda x, i: F.struct(
-                    x.alias("gram"),
-                    i.cast("int").alias("start"),
-                    i.cast("int").alias("end"),
-                ),
-            ),
-            lambda s: s["gram"].isin(*uni_keys),
-        )
-    else:
-        uni = F.array().cast(_EMPTY)
-    if bi_keys:
-        positions = F.sequence(F.lit(0), F.size("_toks") - 2)
-        big = F.when(
-            F.size("_toks") >= 2,
+        parts.append(
             F.filter(
                 F.transform(
-                    positions,
-                    lambda i: F.struct(
-                        F.concat_ws(
-                            " ",
-                            F.element_at(F.col("_toks"), i + 1),
-                            F.element_at(F.col("_toks"), i + 2),
-                        ).alias("gram"),
-                        i.cast("int").alias("start"),
-                        (i + 1).cast("int").alias("end"),
-                    ),
+                    "_toks",
+                    lambda x, i: _struct(x, i.cast("int"), i.cast("int"), "m"),
                 ),
-                lambda s: s["gram"].isin(*bi_keys),
-            ),
-        ).otherwise(F.array().cast(_EMPTY))
-    else:
-        big = F.array().cast(_EMPTY)
+                lambda s: s["gram"].isin(*uni_keys),
+            )
+        )
+    if bi_keys:
+        positions = F.sequence(F.lit(0), F.size("_toks") - 2)
+        parts.append(
+            F.when(
+                F.size("_toks") >= 2,
+                F.filter(
+                    F.transform(
+                        positions,
+                        lambda i: _struct(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(F.col("_toks"), i + 1),
+                                F.element_at(F.col("_toks"), i + 2),
+                            ),
+                            i.cast("int"),
+                            (i + 1).cast("int"),
+                            "m",
+                        ),
+                    ),
+                    lambda s: s["gram"].isin(*bi_keys),
+                ),
+            ).otherwise(F.array().cast(_EMPTY))
+        )
+    if predicates:
+        parts.append(
+            F.filter(
+                F.transform(
+                    "_toks",
+                    lambda x, i: _struct(x, i.cast("int"), i.cast("int"), "p"),
+                ),
+                lambda s: s["gram"].isin(*sorted(set(predicates))),
+            )
+        )
+    if not parts:
+        parts = [F.array().cast(_EMPTY)]
+    out_cols = ["gram", "start", "end"] + (["kind"] if kinds else [])
     return transcripts.select(
         "conv_id",
         "turn_idx",
-        F.explode(F.concat(uni, big)).alias("m"),
+        F.explode(F.concat(*parts) if len(parts) > 1 else parts[0]).alias("m"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        *[F.col(f"m.{c}").alias(c) for c in out_cols],
+    )
+
+
+def detect_predicates(transcripts: DataFrame, predicates: list[str]) -> DataFrame:
+    """Predicate-token occurrences (conv_id, turn_idx, gram, start, end,
+    kind='p') — the standalone scan the explode+semi-join candidate plans
+    union in (the inline plan gets predicates fused into its one scan via
+    ``detect_matching_mentions(predicates=...)``). No stop-gram filter:
+    semantics match ``isin(*PREDICATES)`` over the raw token array."""
+    if "_toks" not in transcripts.columns:
+        transcripts = transcripts.withColumn("_toks", tokens(F.col("text")))
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.filter(
+                F.transform(
+                    "_toks",
+                    lambda x, i: F.struct(
+                        x.alias("gram"),
+                        i.cast("int").alias("start"),
+                        i.cast("int").alias("end"),
+                    ),
+                ),
+                lambda s: s["gram"].isin(*sorted(set(predicates))),
+            )
+        ).alias("m"),
     ).select(
         "conv_id",
         "turn_idx",
         F.col("m.gram").alias("gram"),
         F.col("m.start").alias("start"),
         F.col("m.end").alias("end"),
+        F.lit("p").alias("kind"),
     )
+
+
+def distinct_grams(
+    transcripts: DataFrame, bigram_first_tokens: list[str] | None = None
+) -> DataFrame:
+    """Distinct candidate grams of the corpus — exactly
+    ``detect_mentions(...).select("gram").distinct()`` but strings-only:
+    no position structs are ever built, and ``array_distinct`` inside
+    each turn removes per-turn repeats BEFORE the explode (Zipf text
+    repeats tokens within a turn), so the partial-aggregate hash table
+    sees materially fewer rows. This is the fuzzy-scoring input
+    (vocabulary-bounded, corpus-independent output)."""
+    if "_toks" not in transcripts.columns:
+        transcripts = transcripts.withColumn("_toks", tokens(F.col("text")))
+    uni = F.col("_toks")
+    if bigram_first_tokens is not None:
+        first_set = F.array(*[F.lit(t) for t in sorted(set(bigram_first_tokens))])
+        positions = F.filter(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.array_contains(first_set, F.element_at(F.col("_toks"), i + 1)),
+        )
+    else:
+        positions = F.sequence(F.lit(0), F.size("_toks") - 2)
+    big = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            positions,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_toks"), i + 1),
+                F.element_at(F.col("_toks"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = transcripts.select(
+        F.explode(F.array_distinct(F.concat(uni, big))).alias("gram")
+    )
+    return g.filter(~F.col("gram").isin(*STOP_GRAMS)).distinct()

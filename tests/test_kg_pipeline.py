@@ -193,6 +193,122 @@ def test_inline_keyset_gate_matches_semi_join_pipeline(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_distinct_grams_equals_mention_stream_distinct(spark):
+    """distinct_grams (strings-only, per-turn pre-dedup) must equal
+    detect_mentions(...).select('gram').distinct() exactly — same
+    stop-gram filter, same first-token bigram blocking, empty turns."""
+    from prom_spark.pipeline.mentions import detect_mentions, distinct_grams
+
+    tr = synth_transcripts(spark, n_convs=30, turns_per_conv=4, n_entities=32)
+    tr = tr.withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 0, F.lit("")).otherwise(F.col("text")),
+    )
+    for ft in (None, ["the", "conveyor", "zz-nope"]):
+        a = {
+            r.gram
+            for r in detect_mentions(tr, bigram_first_tokens=ft)
+            .select("gram").distinct().collect()
+        }
+        b = {r.gram for r in distinct_grams(tr, bigram_first_tokens=ft).collect()}
+        assert a == b and len(a) > 0, (ft, len(a), len(b))
+
+
+def test_detect_matching_mentions_predicates(spark):
+    """predicates= fuses predicate-occurrence detection into the same
+    scan: kind='m' rows equal the predicate-less output, kind='p' rows
+    equal a direct isin() probe of the token arrays (NO stop-gram filter
+    — extract_triples semantics), and a gram that is both alias and
+    predicate emits both rows."""
+    from prom_spark.pipeline.mentions import (
+        STOP_GRAMS,
+        detect_matching_mentions,
+        detect_predicates,
+        tokens,
+    )
+
+    tr = synth_transcripts(spark, n_convs=30, turns_per_conv=4, n_entities=32)
+    keys = [
+        r.gram
+        for r in detect_matching_mentions(tr, ["conveyor", "robot", "sensor"])
+        .select("gram").distinct().collect()
+    ] or ["conveyor"]
+    # 'uses' occurs in every synth turn; STOP_GRAMS[0] ('the') does too
+    preds = ["uses", STOP_GRAMS[0], keys[0]]
+    out = detect_matching_mentions(tr, keys, predicates=preds)
+    cols = ["conv_id", "turn_idx", "gram", "start", "end"]
+    m = {tuple(r) for r in out.filter("kind = 'm'").select(*cols).collect()}
+    base = {
+        tuple(r)
+        for r in detect_matching_mentions(tr, keys).select(*cols).collect()
+    }
+    assert m == base and len(m) > 0
+    p = {tuple(r) for r in out.filter("kind = 'p'").select(*cols).collect()}
+    direct = {
+        tuple(r)
+        for r in tr.withColumn("_toks", tokens(F.col("text")))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode("_toks").alias("pos", "tok"),
+        )
+        .filter(F.col("tok").isin(*preds))
+        .select("conv_id", "turn_idx", "tok", "pos", "pos")
+        .collect()
+    }
+    assert p == direct and len(p) > 0
+    # the stop-gram predicate must be present (no stop filter on 'p')
+    assert any(g == STOP_GRAMS[0] for (_, _, g, _, _) in p)
+    # alias-and-predicate gram: both kinds at the same position
+    both = out.filter(F.col("gram") == keys[0])
+    kinds = {r.kind for r in both.select("kind").distinct().collect()}
+    assert kinds == {"m", "p"}
+    # standalone scan (explode-plan union input) emits the same 'p' rows
+    alt = {
+        tuple(r)
+        for r in detect_predicates(tr, preds).select(*cols).collect()
+    }
+    assert alt == p
+
+
+def test_fused_triples_equal_unfused_extraction(spark, kg):
+    """build_kg's single-exchange triples stage (preds carried through
+    the candidate stream, window keyed on the layout columns) must emit
+    exactly the triples of the unfused formulation: per-turn linking
+    without preds + transcript re-scan + (conv_id, turn_idx) join."""
+    from prom_spark.pipeline.kg import (
+        canonicalize_entities,
+        extract_triples,
+        link_mentions_per_turn,
+    )
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    tr, d, res, _ = kg
+    first_tokens = [
+        r.w
+        for r in d.filter(F.size(F.split("alias", " ")) > 1)
+        .select(F.split("alias", " ").getItem(0).alias("w"))
+        .distinct()
+        .collect()
+    ]
+    m = detect_mentions(tr, bigram_first_tokens=first_tokens)
+    emap = canonicalize_entities(d)
+    linked_old = link_mentions_per_turn(m, d, entity_map=emap)
+    want = {
+        tuple(r)
+        for r in extract_triples(tr, linked_old)
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in res.triples.select(
+            "conv_id", "turn_idx", "subj", "pred", "obj"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_per_turn_linking_equals_flat_linking(spark):
     """link_mentions_per_turn (fused, in-array span selection) must make
     exactly the flat path's choices after canonical mapping."""
