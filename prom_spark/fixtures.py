@@ -16,6 +16,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+
+def _local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Single-slice ``createDataFrame`` for tiny local fixture tables.
+
+    A local-list frame inherits ``spark.default.parallelism`` slices
+    (100+ in bench sessions) — nearly all empty for fixture-sized data.
+    Evaluating such a frame through ``coalesce(1)`` (the fixture-query
+    pattern) pays one Python-worker round-trip per EMPTY slice inside a
+    single task (~130 ms each; measured 17 s for a 37-row table), so
+    fixture frames are parallelized into exactly one slice up front.
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
 A = "http://example.org/onto-a.owl#"
 B = "http://example.org/onto-fr.owl#"
 
@@ -75,7 +88,7 @@ def onto_labels(spark: SparkSession) -> DataFrame:
         (o, (A if o == "a" else B) + frag, t, lbl, "en")
         for (o, frag, t, lbl) in _LABELS
     ]
-    return spark.createDataFrame(rows, LABELS_SCHEMA)
+    return _local_df(spark, rows, LABELS_SCHEMA)
 
 
 # --- alias dictionary (replaces WordNet + production vocabulary) ---------
@@ -121,7 +134,7 @@ def alias_dictionary(spark: SparkSession) -> DataFrame:
         rows += [(x, "VERB", "ant", y)]
     for n, v in _DRF_N2V:
         rows += [(n, "NOUN", "drf", v)]
-    return spark.createDataFrame(sorted(set(rows)), ALIAS_SCHEMA)
+    return _local_df(spark, sorted(set(rows)), ALIAS_SCHEMA)
 
 
 # Domain vocabulary synsets (verbatim from data/production-vocabulary.csv).
@@ -154,7 +167,7 @@ def domain_vocabulary(spark: SparkSession) -> DataFrame:
     rows = [
         (term, sid) for sid, synset in enumerate(VOCAB_SYNSETS) for term in synset
     ]
-    return spark.createDataFrame(rows, "label string, synset_id int")
+    return _local_df(spark, rows, "label string, synset_id int")
 
 
 # --- axiom fixtures (S3-S5 shapes) ---------------------------------------
@@ -233,7 +246,7 @@ def class_axioms(spark: SparkSession) -> DataFrame:
         (o, _prefix(o, s), r, _prefix(o, p), _prefix(o, ob))
         for (o, s, r, p, ob) in _CLASS_AXIOMS
     ]
-    return spark.createDataFrame(rows, CLASS_AXIOMS_SCHEMA)
+    return _local_df(spark, rows, CLASS_AXIOMS_SCHEMA)
 
 
 def op_axioms(spark: SparkSession) -> DataFrame:
@@ -241,7 +254,7 @@ def op_axioms(spark: SparkSession) -> DataFrame:
         (o, _prefix(o, op), _prefix(o, d), _prefix(o, r), *flags)
         for (o, op, d, r, *flags) in _OP_AXIOMS
     ]
-    return spark.createDataFrame(rows, OP_AXIOMS_SCHEMA)
+    return _local_df(spark, rows, OP_AXIOMS_SCHEMA)
 
 
 def dp_axioms(spark: SparkSession) -> DataFrame:
@@ -249,7 +262,7 @@ def dp_axioms(spark: SparkSession) -> DataFrame:
         (o, _prefix(o, dp), _prefix(o, d), r, *rest)
         for (o, dp, d, r, *rest) in _DP_AXIOMS
     ]
-    return spark.createDataFrame(rows, DP_AXIOMS_SCHEMA)
+    return _local_df(spark, rows, DP_AXIOMS_SCHEMA)
 
 
 # --- ABox fixtures (src/onto_a.py:51-55, src/onto_fr.py:78-89) -----------
@@ -289,7 +302,7 @@ _PROP_VALUES = (
 
 def individuals(spark: SparkSession) -> DataFrame:
     rows = [(o, _prefix(o, i), _prefix(o, c)) for (o, i, c) in _INDIVIDUALS]
-    return spark.createDataFrame(rows, INDIVIDUALS_SCHEMA)
+    return _local_df(spark, rows, INDIVIDUALS_SCHEMA)
 
 
 def prop_values(spark: SparkSession) -> DataFrame:
@@ -297,7 +310,7 @@ def prop_values(spark: SparkSession) -> DataFrame:
         (o, _prefix(o, s), _prefix(o, p), ob if dp else _prefix(o, ob), dp)
         for (o, s, p, ob, dp) in _PROP_VALUES
     ]
-    return spark.createDataFrame(rows, PROP_VALUES_SCHEMA)
+    return _local_df(spark, rows, PROP_VALUES_SCHEMA)
 
 
 # --- golden reference alignment (data/reference_alignment.csv:1-27) ------
@@ -335,7 +348,7 @@ REFERENCE_ALIGNMENT = [
 
 def reference_alignment(spark: SparkSession) -> DataFrame:
     rows = [(A + x, B + y, rel) for (x, y, rel) in REFERENCE_ALIGNMENT]
-    return spark.createDataFrame(rows, "iri1 string, iri2 string, relation string")
+    return _local_df(spark, rows, "iri1 string, iri2 string, relation string")
 
 
 # --- 1:1 selection fixture (src/string_matcher.py:53-63) -----------------
@@ -352,6 +365,6 @@ def selection_fixture(spark: SparkSession) -> DataFrame:
     for uid1, n1 in SELECTION_FIXTURE_NAMES_1:
         for uid2, n2 in SELECTION_FIXTURE_NAMES_2:
             rows.append((uid1, n1, uid2, n2))
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "uid1 string, name1 string, uid2 string, name2 string"
     )

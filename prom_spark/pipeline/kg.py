@@ -641,7 +641,9 @@ def transcripts_from_documents(
 
 def term_dictionary(spark, terms: list[str]) -> DataFrame:
     """Minimal entity dictionary from a fixed term list (flagship entry)."""
-    df = spark.createDataFrame([(t,) for t in terms], "alias string")
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(t,) for t in terms], 1), "alias string"
+    )
     return df.select(
         "alias",
         F.concat(F.lit("E_"), F.col("alias")).alias("entity_id"),

@@ -648,7 +648,9 @@ def q18_entity_link(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     )
-    dict_df = spark.createDataFrame([(t,) for t in LINK_TERMS], "term string")
+    dict_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(t,) for t in LINK_TERMS], 1), "term string"
+    )
     return (
         toks.join(F.broadcast(dict_df), toks.tok == dict_df.term)
         .groupBy("doc_id", "term")
@@ -677,7 +679,7 @@ def q19_fuzzy_link(spark, sf_dir):
         .withColumn("blk", F.substring("tok", 1, 1))
     )
     dict_df = spark.createDataFrame(
-        [(t,) for t in LINK_TERMS], "term string"
+        spark.sparkContext.parallelize([(t,) for t in LINK_TERMS], 1), "term string"
     ).withColumn("blk", F.substring("term", 1, 1))
     return (
         toks.join(F.broadcast(dict_df), on="blk")
