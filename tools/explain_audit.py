@@ -108,6 +108,30 @@ def main() -> None:
         ],
     )
 
+    # fused triple extraction: the linked frame already carries per-turn
+    # ents + preds arrays, so the stage must plan ONE exchange total (the
+    # bucketed-layout repartition, whose (bucket, _sub) keys satisfy the
+    # cross-turn follows window) and NO join back to the transcripts
+    from prom_spark.pipeline.kg import _bucket_layout, extract_triples
+
+    linked_shape = spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, "
+        "ents array<struct<ts:int,te:int,entity_id:string>>, "
+        "preds array<struct<p:int,tok:string>>",
+    )
+    fused = extract_triples(None, _bucket_layout(linked_shape, 32, keep_sub=True))
+    check(
+        "fused_triples_single_exchange",
+        fused,
+        [
+            ("exactly one exchange (layout == window distribution)",
+             lambda p: p.split("\n\n")[0].count("Exchange") == 1),
+            ("no join back to transcripts", lambda p: "Join" not in p.split("\n\n")[0]),
+            ("follows window present", lambda p: "Window" in p.split("\n\n")[0]),
+        ],
+    )
+
     lines = ["# Physical-plan audit", "",
              f"`python tools/explain_audit.py {sf_dir}` — planning only; "
              "properties asserted against `.explain('formatted')` output.", ""]
