@@ -36,6 +36,26 @@ KG_TURNS_PER_CONV = int(os.environ.get("PROM_BENCH_KG_TURNS", "10"))
 KG_REPS = int(os.environ.get("PROM_BENCH_KG_REPS", "2"))
 
 
+def _divert_stderr() -> None:
+    """Route fd 2 (Python + the whole JVM it spawns) to a sidecar log.
+
+    The driver records bench output as the artifact; Spark's transient
+    executor-side warnings (e.g. a DAGScheduler accumulator-update stack
+    for an already-cleaned localCheckpoint) must never interleave with
+    the one-line JSON contract. Disable with PROM_BENCH_STDERR=inherit
+    (scaling harness debugging)."""
+    if os.environ.get("PROM_BENCH_STDERR") == "inherit":
+        return
+    log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(log_dir, exist_ok=True)
+    fd = os.open(
+        os.path.join(log_dir, "bench_stderr.log"),
+        os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+    )
+    os.dup2(fd, 2)
+    os.close(fd)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -106,12 +126,16 @@ def main() -> None:
         # classes and JIT-warms the hot paths so the timed run measures
         # steady-state throughput (standard JVM benchmarking practice;
         # identical warmup at every parallelism level)
+        w_convs = max(1000, KG_CONVS // 40)
         wtr = synth_transcripts(
-            spark, n_convs=max(1000, KG_CONVS // 40),
+            spark, n_convs=w_convs,
             turns_per_conv=KG_TURNS_PER_CONV, n_entities=256,
         )
         wbase = tempfile.mkdtemp(prefix="prom_bench_warm_")
-        build_kg(spark, wtr, dictionary, wbase, resume=False, use_salting=salting)
+        build_kg(
+            spark, wtr, dictionary, wbase, resume=False, use_salting=salting,
+            n_transcript_rows=w_convs * KG_TURNS_PER_CONV,
+        )
         shutil.rmtree(wbase, ignore_errors=True)
     # checkpoints on tmpfs: stage-table bandwidth on a real cluster scales
     # with executors (HDFS/S3); a single local disk does not — it would
@@ -124,7 +148,8 @@ def main() -> None:
         base = tempfile.mkdtemp(prefix="prom_bench_kg_", dir=ckpt_root)
         t0 = time.time()
         result = build_kg(
-            spark, transcripts, dictionary, base, resume=False, use_salting=salting
+            spark, transcripts, dictionary, base, resume=False,
+            use_salting=salting, n_transcript_rows=n_turns,
         )
         rep_triples = result.store.metrics("triples")["rows"]
         rep_sec = time.time() - t0
@@ -170,4 +195,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    _divert_stderr()
+    try:
+        main()
+    except BaseException as e:  # surface the failure in the artifact
+        print(json.dumps({"metric": "e2e_suite_sec", "error": repr(e)}))
+        raise

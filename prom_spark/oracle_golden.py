@@ -1,9 +1,10 @@
 """DuckDB oracle twins for the golden-alignment chain (q26/q27).
 
-The label-analysis step is deterministic pure Python
-(``matchers.analysis.analyze_one``); its output over the 37 fixture
-labels is embedded as VALUES CTEs computed at import time from the same
-fixture lists the Spark side reads. Everything downstream — the lexical
+Only the RAW fixture labels are embedded as VALUES CTEs (data, not
+results); the label analysis itself (tokenize / spell-correct / POS /
+lemma / passive — ``matchers.analysis.analyze_one`` on the Spark side)
+is re-implemented in SQL below, so the analysis has a genuinely
+independent second implementation. Everything downstream — the lexical
 rule joins (reference src/compare_by_labels.py:139-344), the priority
 cascade, contradiction pruning (reference :346-375), and structural
 blending (reference src/compare_by_structure.py:466-488) — is

@@ -51,7 +51,13 @@ from prom_spark.sinks import StageStore
 N_BUCKETS = 32
 
 
-def _bucket_layout(df: DataFrame, n_buckets: int, keep_sub: bool = False) -> DataFrame:
+def _bucket_layout(
+    df: DataFrame,
+    n_buckets: int,
+    keep_sub: bool = False,
+    n_rows: int | None = None,
+    min_bucket_rows: int | None = None,
+) -> DataFrame:
     """Add the hash(conv_id) ``bucket`` column and repartition for a
     balanced partitioned write.
 
@@ -67,9 +73,26 @@ def _bucket_layout(df: DataFrame, n_buckets: int, keep_sub: bool = False) -> Dat
     ``partitionBy("bucket")`` still routes every row to its bucket
     directory, so the published layout is unchanged (each bucket dir
     just holds ~k sorted files instead of 1).
+
+    The sub-split is gated on DATA SIZE, not cores: ``n_rows`` (caller's
+    row-count estimate for ``df``) must put at least ``min_bucket_rows``
+    rows in each bucket before the composite key engages. A straggler
+    only costs when a single bucket's write is long enough to dominate a
+    task wave; below the threshold the split pays k× the per-file
+    overhead (open/footer/commit per tiny file) for nothing — measured
+    ~6s (~22%) of the sf0.1 flagship wall when the split ran
+    unconditionally at 120k turns, vs the 0.11→~0.8 write-stage
+    efficiency it buys at 3.6M turns. ``n_rows=None`` (unknown) keeps
+    ``split=1``: the sub-split is a large-input optimization callers opt
+    into with evidence (``build_kg`` passes stage-metric or source row
+    counts).
     """
+    if min_bucket_rows is None:
+        min_bucket_rows = DEFAULT_CONFIG.sub_split_min_bucket_rows
     cores = df.sparkSession.sparkContext.defaultParallelism
     split = max(1, -(-8 * cores // n_buckets))
+    if n_rows is None or n_rows < min_bucket_rows * n_buckets:
+        split = 1
     out = df.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
     )
@@ -112,10 +135,15 @@ def _link_candidates(
     ``use_salting=None`` picks automatically from the dictionary size.
 
     Fuzzy path: block on (first char, token count), score ensemble of
-    normalized Levenshtein + embedding cosine — per DISTINCT gram, then
-    broadcast the bounded score table back onto occurrences (the
-    occurrence⋈score join on raw `gram` is exactly the Zipf-skewed join
-    salting exists for; broadcasting sidesteps it entirely).
+    normalized Levenshtein + embedding cosine — per DISTINCT gram. The
+    bounded score table is then joined back onto occurrences: broadcast
+    when the dictionary regime broadcasts (the occurrence⋈score join on
+    raw `gram` is exactly the Zipf-skewed join salting exists for, and
+    broadcasting removes the shuffle outright), salted otherwise —
+    fuzzy_scores is dictionary-bounded (distinct grams × variants above
+    threshold), so in the beyond-broadcast dictionary regime it must be
+    presumed beyond the broadcast budget too (GBs do not broadcast), and
+    its gram key carries the same Zipf-hot skew as the exact join.
     """
     dict_slim = dictionary.select("alias", "entity_id", "embedding")
     n_dict = None
@@ -176,15 +204,46 @@ def _link_candidates(
         mentions.select("gram").distinct(), dict_slim, cfg,
         broadcast_dict=not use_salting,
     )
-    # fuzzy_scores is bounded by |dict| x variants-above-threshold, not by
-    # corpus size: broadcast it. A plain join here would shuffle every
-    # occurrence by Zipf-hot gram — the exact skew the north_rule warns
-    # about; broadcasting removes the shuffle instead of salting it.
-    fuzzy = mentions.join(F.broadcast(fuzzy_scores), on="gram").select(
+    fuzzy = _fuzzy_rejoin(
+        mentions, fuzzy_scores, cfg,
+        broadcast=not use_salting, hot_keys=hot_keys,
+    )
+    return exact.unionByName(fuzzy)
+
+
+def _fuzzy_rejoin(
+    occurrences: DataFrame,
+    fuzzy_scores: DataFrame,
+    cfg: PipelineConfig,
+    broadcast: bool,
+    hot_keys=None,
+) -> DataFrame:
+    """Join the bounded (gram, entity_id, rating) fuzzy score table back
+    onto the occurrence stream.
+
+    ``broadcast=True`` (dictionary-broadcast regime, or the caller KNOWS
+    the score table fits the budget — build_kg checks the checkpoint row
+    count) removes the shuffle outright. ``broadcast=False`` is the
+    beyond-broadcast path: fuzzy_scores is dictionary-bounded (distinct
+    grams × variants above threshold) but dictionary-bounded is GBs for
+    a 10^8-alias dictionary (docs/SCALE.md), and GBs do not broadcast —
+    and the join key is the raw ``gram``, the same Zipf-hot key as the
+    exact join, so it routes through the identical salted shuffle design
+    rather than piling hot grams into single reducers.
+    """
+    if broadcast:
+        joined = occurrences.join(F.broadcast(fuzzy_scores), on="gram")
+    else:
+        joined = salted_join(
+            occurrences, fuzzy_scores, key="gram",
+            n_salts=cfg.hot_key_salts,
+            hot_factor=cfg.hot_key_factor,
+            hot_keys=hot_keys,
+            detect_sample_fraction=cfg.hot_key_sample,
+        )
+    return joined.select(
         "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
-
-    return exact.unionByName(fuzzy)
 
 
 def _fuzzy_scores(
@@ -256,13 +315,17 @@ def _score_candidates(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     use_salting: bool = True,
     hot_keys=None,
+    fuzzy_rows: int | None = None,
 ) -> DataFrame:
     """Score a PRE-FILTERED occurrence stream (every row's gram is known
     to match the dictionary exactly or appear in ``fuzzy_scores``).
 
     Same join design as ``_link_candidates`` minus the semi-reduction
     (already applied upstream) and minus the distinct-gram scoring
-    (supplied precomputed — in ``build_kg`` it is its own checkpoint).
+    (supplied precomputed — in ``build_kg`` it is its own checkpoint,
+    so ``fuzzy_rows`` comes free from the stage metrics and refines the
+    fuzzy re-join choice: even in the salted-dictionary regime a score
+    table that MEASURES under the broadcast budget broadcasts).
     """
     d = dict_slim.withColumnRenamed("alias", "gram")
     if use_salting:
@@ -278,8 +341,11 @@ def _score_candidates(
     exact = exact_raw.withColumn("rating", F.lit(1.0)).select(
         "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
     )
-    fuzzy = candidates.join(F.broadcast(fuzzy_scores), on="gram").select(
-        "conv_id", "turn_idx", "gram", "start", "end", "entity_id", "rating"
+    fuzzy = _fuzzy_rejoin(
+        candidates, fuzzy_scores, cfg,
+        broadcast=(not use_salting)
+        or (fuzzy_rows is not None and fuzzy_rows <= cfg.dict_broadcast_limit),
+        hot_keys=hot_keys,
     )
     return exact.unionByName(fuzzy)
 
@@ -465,6 +531,14 @@ def extract_triples(
     canonical mapping is a complete dedup, and the final stage needs no
     global ``distinct`` (a full corpus-wide exchange at 10^12 scale).
     """
+    if transcripts is None and "preds" not in linked.columns:
+        raise ValueError(
+            "extract_triples: `linked` carries no per-turn `preds` column "
+            "and no transcripts frame was given — predicate positions "
+            "must come from one of them. A `linked` frame from before the "
+            "fused-preds format (e.g. an old checkpoint) needs "
+            "transcripts=..., or recompute the stage with resume=False."
+        )
     carry = []
     if "ents" in linked.columns and "preds" in linked.columns:
         # fully fused input from _per_turn_select(preds=...): per-turn
@@ -661,6 +735,7 @@ def build_kg(
     resume: bool = True,
     use_salting: bool | None = None,
     hot_keys=None,
+    n_transcript_rows: int | None = None,
 ) -> KgResult:
     """Run (or resume) the full pipeline, checkpointing every stage.
 
@@ -675,6 +750,18 @@ def build_kg(
     DataFrame) for the salted mention⋈dictionary join — skips the
     detection count pass over the mention stream when the hot set is
     known a priori.
+
+    ``n_transcript_rows``: optional row count of ``transcripts`` when
+    the caller knows it (bench harnesses, metadata-counted sources) —
+    gates the ingest layout's sub-split without a count job; when None
+    a pruned count runs inside the ingest stage (skipped entirely on
+    resume).
+
+    Checkpoint validity: every stage's recorded ``inputs`` list (which
+    includes a config-derived plan-gate tag for the candidate stage) and
+    required output columns are checked against the checkpoint's stored
+    metrics on resume; a stage whose inputs or schema no longer match is
+    recomputed rather than silently reused or crashed into mid-plan.
     """
     store = StageStore(spark, base_dir)
     n_buckets = getattr(cfg, "n_output_buckets", N_BUCKETS)
@@ -687,7 +774,20 @@ def build_kg(
     # a caller provides one.
     ingest = store.get_or_compute(
         "ingest",
-        lambda: _bucket_layout(transcripts, n_buckets),
+        # n_rows gates the write-balancing sub-split on data size: the
+        # caller-provided count when known, else one pruned count job
+        # (cheap next to the full ingest write, and only paid when the
+        # stage actually computes)
+        lambda: _bucket_layout(
+            transcripts,
+            n_buckets,
+            n_rows=(
+                n_transcript_rows
+                if n_transcript_rows is not None
+                else transcripts.count()
+            ),
+            min_bucket_rows=cfg.sub_split_min_bucket_rows,
+        ),
         resume=resume,
         inputs=["<source transcripts>"],
         partition_by=["bucket"],
@@ -751,13 +851,26 @@ def build_kg(
     # predicate occurrences ride the candidate stage (kind='p') so the
     # triple-extraction stage needs no second pass over the corpus text;
     # the inline plan detects them in the SAME scan, the explode plans
-    # union a dedicated narrow scan
-    if n_dict > cfg.alias_broadcast_limit:
-        # the alias string set itself exceeds the broadcast budget: the
-        # semi-reduction becomes a salted shuffle semi-join (strings only)
-        cand_plan = "plan:salted-semi-join"
+    # union a dedicated narrow scan.
+    #
+    # The plan choice (inline keyset vs broadcast vs salted semi-join)
+    # is deferred INTO the thunk: it needs a driver collect over
+    # match_keys, which a resume run that reuses the checkpoint must
+    # never pay. For checkpoint invalidation the inputs list carries the
+    # CONFIG knobs the choice is a pure function of (given the same
+    # upstream data, which the other inputs entries pin) — so a gate
+    # change between runs recomputes instead of silently reusing a
+    # checkpoint built under a different plan.
+    gate_tag = (
+        f"gate:inline={cfg.inline_keyset_limit}"
+        f",alias_bc={cfg.alias_broadcast_limit},salted={bool(use_salting)}"
+    )
 
-        def _candidates():
+    def _candidates():
+        if n_dict > cfg.alias_broadcast_limit:
+            # the alias string set itself exceeds the broadcast budget:
+            # the semi-reduction becomes a salted shuffle semi-join
+            # (strings only)
             return salted_join(
                 mentions_full, match_keys, key="gram",
                 n_salts=cfg.hot_key_salts,
@@ -768,39 +881,33 @@ def build_kg(
             ).withColumn("kind", F.lit("m")).unionByName(
                 detect_predicates(ingest, PREDICATES)
             )
-    else:
         # three escalating plans, all emitting the identical relation:
         #   keyset <= inline_keyset_limit   membership probed INSIDE the
         #       token arrays before any explode (detect_matching_mentions
         #       — only true mentions ever become rows; measured 2.5x
         #       faster than exploding the full stream into a semi-join)
         #   <= alias_broadcast_limit        explode + broadcast semi-join
-        #   above                           explode + salted semi-join
+        #   above                           (handled above)
         inline_keys = [
             r.gram
             for r in match_keys.limit(cfg.inline_keyset_limit + 1).collect()
         ]
         if len(inline_keys) <= cfg.inline_keyset_limit:
-            cand_plan = "plan:inline-keyset"
+            return detect_matching_mentions(
+                ingest, inline_keys, predicates=PREDICATES
+            )
+        return mentions_full.join(
+            F.broadcast(match_keys), on="gram", how="left_semi"
+        ).withColumn("kind", F.lit("m")).unionByName(
+            detect_predicates(ingest, PREDICATES)
+        )
 
-            def _candidates():
-                return detect_matching_mentions(
-                    ingest, inline_keys, predicates=PREDICATES
-                )
-        else:
-            cand_plan = "plan:broadcast-semi-join"
-
-            def _candidates():
-                return mentions_full.join(
-                    F.broadcast(match_keys), on="gram", how="left_semi"
-                ).withColumn("kind", F.lit("m")).unionByName(
-                    detect_predicates(ingest, PREDICATES)
-                )
     candidates = store.get_or_compute(
         "candidates",
         _candidates,
         resume=resume,
-        inputs=["ingest", "fuzzy_scores", "<dictionary>", cand_plan],
+        inputs=["ingest", "fuzzy_scores", "<dictionary>", gate_tag],
+        require_cols=["kind"],
     )
 
     entity_map = store.get_or_compute(
@@ -817,6 +924,10 @@ def build_kg(
                 candidates.filter(F.col("kind") == "m").drop("kind"),
                 dict_slim, fuzzy_scores, cfg,
                 use_salting=use_salting, hot_keys=hot_keys,
+                # the checkpoint row count is free and refines the fuzzy
+                # re-join: broadcast iff the score table measures under
+                # the budget, salted shuffle otherwise
+                fuzzy_rows=store.metrics("fuzzy_scores")["rows"],
             ),
             cfg,
             entity_map,
@@ -824,6 +935,7 @@ def build_kg(
         ),
         resume=resume,
         inputs=["candidates", "fuzzy_scores", "<dictionary>", "entity_map"],
+        require_cols=["ents", "preds"],
     )
 
     # triples_raw is already canonical and per-turn deduped (ids were
@@ -836,8 +948,15 @@ def build_kg(
     # re-scan, no join, no global distinct.
     triples_raw = store.get_or_compute(
         "triples_raw",
+        # the linked checkpoint's recorded row count gates the layout
+        # sub-split for free (no count job)
         lambda: extract_triples(
-            None, _bucket_layout(linked, n_buckets, keep_sub=True)
+            None,
+            _bucket_layout(
+                linked, n_buckets, keep_sub=True,
+                n_rows=store.metrics("linked")["rows"],
+                min_bucket_rows=cfg.sub_split_min_bucket_rows,
+            ),
         ).drop("_sub"),
         resume=resume,
         inputs=["linked"],

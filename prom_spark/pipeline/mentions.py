@@ -142,11 +142,12 @@ def detect_mentions(
     # split) is the dominant per-turn cost, so a two-branch
     # unigram/bigram union that re-tokenizes the text measures ~3x
     # slower end-to-end despite its prettier unigram plan. A transcript
-    # frame that already carries a ``_toks`` column (the ingest
-    # checkpoint pre-tokenizes exactly once — kg.build_kg) skips the
-    # regex entirely: reading the stored array measures 3-4x faster than
-    # re-running the extract per pass, and this stage runs 2-3x per
-    # pipeline over the same table.
+    # frame that already carries a ``_toks`` column skips the regex
+    # entirely — callers that tokenize once and fan out several scans
+    # can thread the array through. (kg.build_kg deliberately does NOT
+    # store ``_toks`` at ingest: the +50% stage-table write cost
+    # exceeded what the downstream scans save — see the measured trade
+    # documented at the ingest stage in kg.build_kg.)
     uni = F.transform(
         "_toks",
         lambda x, i: F.struct(

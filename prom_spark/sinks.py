@@ -164,17 +164,55 @@ class StageStore:
         self.lineage[stage] = inputs or []
         return persisted
 
+    def _checkpoint_stale(
+        self,
+        stage: str,
+        inputs: list[str] | None,
+        require_cols: list[str] | None = None,
+    ) -> str | None:
+        """Why an existing checkpoint may NOT be resumed (None = valid).
+
+        Two invalidation rules, both against stored metrics only (no data
+        read): the recorded ``inputs`` lineage must equal what the caller
+        would record today (upstream stage set, plan-gate tags), and the
+        stored schema must carry every ``require_cols`` column (a format
+        from before a pipeline change must recompute, not crash mid-plan
+        on a missing column)."""
+        m = self.metrics(stage)
+        if inputs is not None and m.get("inputs") != inputs:
+            return f"inputs changed: {m.get('inputs')} -> {inputs}"
+        if require_cols:
+            if m.get("schema_json"):
+                have = {
+                    f["name"] for f in json.loads(m["schema_json"])["fields"]
+                }
+            else:  # pre-schema_json metrics: fall back to simpleString
+                have = {
+                    c.split(":", 1)[0]
+                    for c in m.get("schema", "struct<>")[7:-1].split(",")
+                    if c
+                }
+            missing = [c for c in require_cols if c not in have]
+            if missing:
+                return f"schema missing required columns: {missing}"
+        return None
+
     def get_or_compute(
         self,
         stage: str,
         compute,
         resume: bool = True,
         inputs: list[str] | None = None,
+        require_cols: list[str] | None = None,
         **write_kwargs,
     ) -> DataFrame:
-        """Resume point: reuse the stage's checkpoint when present."""
+        """Resume point: reuse the stage's checkpoint when present AND
+        still valid (same recorded inputs, schema carries
+        ``require_cols``); recompute otherwise."""
         if resume and self.exists(stage):
-            return self.read(stage)
+            stale = self._checkpoint_stale(stage, inputs, require_cols)
+            if stale is None:
+                return self.read(stage)
         return self.write(stage, compute(), inputs=inputs, **write_kwargs)
 
     def alias(
@@ -209,13 +247,22 @@ class StageStore:
         inputs: list[str] | None = None,
     ) -> DataFrame:
         if resume and self.exists(stage):
-            return self.read(stage)
+            if self._checkpoint_stale(stage, inputs) is None:
+                return self.read(stage)
         return self.alias(stage, source, inputs=inputs)
 
     @staticmethod
     def _footer_counts(path: str) -> list[dict]:
         """Row count per data file (= per write partition) from parquet
-        footers; file order is the stable sorted relative path."""
+        footers; file order is the stable sorted relative path.
+
+        Footer reads fan out over a thread pool (pyarrow releases the
+        GIL): this runs serially on the driver between stages, so at
+        hundreds of files per bucketed stage it is exactly the kind of
+        fixed per-stage cost that dilutes scaling efficiency at the
+        wider parallelism level."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         files = []
@@ -224,11 +271,17 @@ class StageStore:
                 if n.endswith(".parquet"):
                     files.append(os.path.join(root, n))
         files.sort()
+        if not files:
+            return []
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            counts = list(
+                ex.map(lambda f: int(pq.ParquetFile(f).metadata.num_rows), files)
+            )
         return [
             {
                 "partition": i,
                 "file": os.path.relpath(f, path),
-                "rows": int(pq.ParquetFile(f).metadata.num_rows),
+                "rows": counts[i],
             }
             for i, f in enumerate(files)
         ]

@@ -391,16 +391,20 @@ def test_salted_paths_equal_broadcast_paths(spark):
 
 def test_bucket_layout_balanced(spark):
     """_bucket_layout must (a) route every row to its published bucket
-    directory, (b) engage the composite sub-split when buckets ~ cores so
-    no shuffle partition holds more than ~2 buckets' share of rows, and
-    (c) keep the sub-split a pure layout concern (no schema change)."""
+    directory, (b) engage the composite sub-split when buckets ~ cores
+    AND the data is large enough per bucket, so no shuffle partition
+    holds more than ~2 buckets' share of rows, (c) keep the sub-split a
+    pure layout concern (no schema change), and (d) stay split=1 when
+    the row count is unknown or under the per-bucket gate (tiny inputs
+    must not pay k× per-file overhead — the sf0.1 flagship regression)."""
     from prom_spark.pipeline.kg import _bucket_layout
 
     df = spark.range(20_000).select(
         F.concat(F.lit("c"), (F.col("id") % 997).cast("string")).alias("conv_id"),
         F.col("id").alias("turn_idx"),
     )
-    out = _bucket_layout(df, 32)
+    n_rows = df.count()
+    out = _bucket_layout(df, 32, n_rows=n_rows, min_bucket_rows=100)
     assert out.columns == ["conv_id", "turn_idx", "bucket"]
     # bucket is the published hash(conv_id) bucket, unchanged by the split
     exp = df.withColumn(
@@ -412,9 +416,135 @@ def test_bucket_layout_balanced(spark):
     # shuffle-partition balance: max partition load bounded well below the
     # 2-3-buckets-per-task straggler the plain repartition(32, bucket)
     # layout produces (here cores=4 -> split=1 would be legal, so force
-    # the composite regime by asking for fewer buckets than 8*cores)
-    small = _bucket_layout(df, 4)
+    # the composite regime by asking for fewer buckets than 8*cores; the
+    # row-count gate is satisfied explicitly)
+    small = _bucket_layout(df, 4, n_rows=n_rows, min_bucket_rows=1000)
     sizes = small.rdd.glom().map(len).collect()
-    n_rows = df.count()
     assert max(sizes) < 0.40 * n_rows  # plain hash-on-4-values can hit 0.5+
     assert sum(sizes) == n_rows
+    # data gate: unknown row count, or rows-per-bucket under the gate,
+    # keeps the plain one-partition-per-bucket layout
+    assert _bucket_layout(df, 4).rdd.getNumPartitions() == 4
+    assert (
+        _bucket_layout(df, 4, n_rows=n_rows, min_bucket_rows=50_000)
+        .rdd.getNumPartitions()
+        == 4
+    )
+    # keep_sub with split=1 must not leave a _sub column behind
+    assert "_sub" not in _bucket_layout(df, 4, keep_sub=True).columns
+
+
+def test_fuzzy_rejoin_salted_path(spark):
+    """Beyond the broadcast budget the fuzzy score re-join must route
+    through the salted shuffle (same design as the exact join) — plan
+    carries the composite (gram, _salt) key — and emit exactly the
+    broadcast path's rows."""
+    import dataclasses
+
+    from prom_spark.config import DEFAULT_CONFIG
+    from prom_spark.datagen import entity_dictionary, synth_transcripts
+    from prom_spark.pipeline.kg import _fuzzy_rejoin, _fuzzy_scores, build_kg
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    tr = synth_transcripts(spark, n_convs=30, turns_per_conv=4, n_entities=32)
+    d = entity_dictionary(spark, 32).cache()
+    m = detect_mentions(tr)
+    dict_slim = d.select("alias", "entity_id", "embedding")
+    lo = dataclasses.replace(DEFAULT_CONFIG, link_threshold=0.2)
+    # near-miss grams guarantee non-empty fuzzy scores
+    near_miss = d.select(
+        F.concat(F.substring("alias", 1, F.length("alias") - 1), F.lit("x")).alias("gram")
+    ).distinct()
+    occ = m.unionByName(
+        near_miss.select(
+            F.lit("cx").alias("conv_id"), F.lit(0).alias("turn_idx"),
+            "gram", F.lit(0).alias("start"), F.lit(0).alias("end"),
+        )
+    )
+    fscores = _fuzzy_scores(
+        occ.select("gram").distinct(), dict_slim, lo
+    ).localCheckpoint(eager=True)
+    assert fscores.count() > 0
+    bc = {tuple(r) for r in _fuzzy_rejoin(occ, fscores, lo, broadcast=True).collect()}
+    salted = _fuzzy_rejoin(occ, fscores, lo, broadcast=False)
+    assert {tuple(r) for r in salted.collect()} == bc and len(bc) > 0
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan, plan
+
+    # end-to-end: forcing every broadcast budget to zero (salted exact
+    # join, salted semi-reduction, replicated-fragment fuzzy scoring,
+    # salted fuzzy re-join via fuzzy_rows > 0 = dict_broadcast_limit)
+    # must reproduce the default build's triples exactly
+    import tempfile
+
+    tiny = dataclasses.replace(
+        DEFAULT_CONFIG, dict_broadcast_limit=0, alias_broadcast_limit=0,
+        inline_keyset_limit=0,
+    )
+    tr2 = synth_transcripts(spark, n_convs=25, turns_per_conv=4, n_entities=24)
+    d2 = entity_dictionary(spark, 24)
+    tcols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    base = {
+        tuple(r)
+        for r in build_kg(
+            spark, tr2, d2, tempfile.mkdtemp(prefix="kg_fz_a_"), resume=False
+        ).triples.select(*tcols).collect()
+    }
+    forced = {
+        tuple(r)
+        for r in build_kg(
+            spark, tr2, d2, tempfile.mkdtemp(prefix="kg_fz_b_"),
+            resume=False, cfg=tiny, use_salting=True,
+        ).triples.select(*tcols).collect()
+    }
+    assert forced == base and len(base) > 0
+
+
+def test_extract_triples_requires_preds_or_transcripts(spark):
+    """A linked frame without per-turn preds and no transcripts must fail
+    loudly (old-format checkpoint resume), not AttributeError mid-plan."""
+    from prom_spark.pipeline.kg import extract_triples
+
+    linked = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, "
+        "ents array<struct<ts:int,te:int,entity_id:string>>",
+    )
+    with pytest.raises(ValueError, match="preds"):
+        extract_triples(None, linked)
+
+
+def test_checkpoint_staleness_invalidation(spark, tmp_path):
+    """get_or_compute must recompute (not reuse) a checkpoint whose
+    recorded inputs differ or whose schema misses required columns, and
+    must reuse without calling compute when both match."""
+    from prom_spark.sinks import StageStore
+
+    store = StageStore(spark, str(tmp_path))
+    calls = {"n": 0}
+
+    def make(cols="a int, b string", row=(1, "x")):
+        def _compute():
+            calls["n"] += 1
+            return spark.createDataFrame([row], cols)
+        return _compute
+
+    store.get_or_compute("s", make(), resume=True, inputs=["u1"])
+    assert calls["n"] == 1
+    # valid: same inputs, required col present -> no recompute
+    store.get_or_compute("s", make(), resume=True, inputs=["u1"], require_cols=["b"])
+    assert calls["n"] == 1
+    # inputs changed (e.g. a plan-gate tag) -> recompute
+    store.get_or_compute("s", make(), resume=True, inputs=["u1", "gate:x"])
+    assert calls["n"] == 2
+    # required column missing from the stored schema -> recompute
+    store.get_or_compute(
+        "s", make("a int, b string, kind string", (1, "x", "m")), resume=True,
+        inputs=["u1", "gate:x"], require_cols=["kind"],
+    )
+    assert calls["n"] == 3
+    assert "kind" in store.read("s").columns
+    # and now valid again
+    store.get_or_compute(
+        "s", make(), resume=True, inputs=["u1", "gate:x"], require_cols=["kind"]
+    )
+    assert calls["n"] == 3

@@ -1,0 +1,84 @@
+"""Static physical-plan shape gates.
+
+tools/explain_audit.py asserts the engine's load-bearing plan
+properties when run by hand; these tests pin the most important one in
+the suite so a refactor cannot silently re-introduce the costs the
+round-3 plan work removed: the fused triple-extraction stage must plan
+exactly ONE exchange (the bucketed-layout repartition doubles as the
+cross-turn `follows` window's distribution) and NO join back to the
+transcripts. At 10^12 turns a second exchange of the largest
+intermediate is the single biggest avoidable cost in the pipeline.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+
+def _formatted_plan(spark, df) -> str:
+    # AQE wraps pre-execution plans in AdaptiveSparkPlan and hides node
+    # detail until runtime; disable it around the explain only
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def _op_tree(plan: str) -> str:
+    # the formatted details section repeats every operator name; shape
+    # predicates must look only at the operator tree
+    return plan.split("\n\n")[0]
+
+
+@pytest.fixture()
+def linked_shape(spark):
+    return spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, "
+        "ents array<struct<ts:int,te:int,entity_id:string>>, "
+        "preds array<struct<p:int,tok:string>>",
+    )
+
+
+def test_fused_triples_plan_single_exchange(spark, linked_shape):
+    """Layout exchange == window distribution: one Exchange, no Join,
+    Window present (the `follows` lag). Covers both the sub-split and
+    plain layouts — keep_sub must satisfy the window either way."""
+    from prom_spark.pipeline.kg import _bucket_layout, extract_triples
+
+    for n_rows, min_rows in ((None, None), (10_000_000, 1)):
+        fused = extract_triples(
+            None,
+            _bucket_layout(
+                linked_shape, 32, keep_sub=True,
+                n_rows=n_rows, min_bucket_rows=min_rows,
+            ),
+        )
+        tree = _op_tree(_formatted_plan(spark, fused))
+        assert tree.count("Exchange") == 1, tree
+        assert "Join" not in tree, tree
+        assert "Window" in tree, tree
+
+
+def test_link_selection_plan_is_partial_agg(spark):
+    """Entity-link selection must plan as a partial aggregation (single
+    shuffle with map-side combine), never a window sort; the dictionary
+    join must broadcast in the broadcast regime."""
+    from prom_spark.pipeline.kg import link_mentions, term_dictionary
+    from prom_spark.pipeline.mentions import detect_mentions
+
+    tr = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, text string"
+    )
+    linked = link_mentions(
+        detect_mentions(tr), term_dictionary(spark, ["alpha", "beta"])
+    )
+    tree = _op_tree(_formatted_plan(spark, linked))
+    assert "Window" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree

@@ -450,8 +450,9 @@ end-to-end number rather than inferring it from host correlation:
 
 `entity_map` is a tiny fixed-cost iterative CC over the dictionary
 (independent of corpus size) — its efficiency is expected to be poor and
-its absolute seconds negligible; the corpus-proportional stages
-(mentions, linked, triples_raw) are the meaningful rows. The former
+its absolute seconds negligible, as is `fuzzy_scores` (bounded by
+vocabulary, not corpus); the corpus-proportional stages (ingest,
+grams, candidates, linked, triples_raw) are the meaningful rows. The former
 `triples` stage no longer appears: the published triple table is a
 metadata-only alias of `triples_raw`, which is written directly in the
 final bucketed-sorted layout (one exchange+write of the largest output
@@ -485,7 +486,10 @@ bucket)` with buckets ≈ cores leaves ~1/e of write tasks empty
 (balls-in-bins), which pinned `triples_raw` at 0.11-0.22 once task
 waves stopped hiding the skew; sub-splitting the shuffle key
 (`_bucket_layout`, prom_spark/pipeline/kg.py) restored balanced writes
-and removed the second full write of the triple table outright.
+and removed the second full write of the triple table outright. Round 4
+gated that sub-split on measured rows-per-bucket: it only engages where
+bucket writes are long enough to straggle, so small inputs (the sf0.1
+flagship) keep the plain one-file-per-bucket layout.
 
 A cluster of N→4N EXECUTORS — the regime the north_rule targets — adds a
 cache/memory subsystem with every node, so this single-box ceiling does
