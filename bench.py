@@ -96,7 +96,7 @@ def main() -> None:
     # ontology, sf-independent): timed and reported separately — their
     # wall time measures scheduler overhead on a fixed tiny input, not
     # engine throughput at the benchmark scale factor
-    fixture_queries = {"q26_lexical_align", "q27_structural_blend"}
+    fixture_queries = {"q26_lexical_align", "q27_structural_blend", "q30_abox_match"}
     fixture_timings: dict[str, float] = {}
 
     if not kg_only:

@@ -351,6 +351,28 @@ def reference_alignment(spark: SparkSession) -> DataFrame:
     return _local_df(spark, rows, "iri1 string, iri2 string, relation string")
 
 
+def _elem_types() -> dict[str, str]:
+    """fragment -> owl element type, from the label fixture (fragments
+    are globally unique across the two ontologies)."""
+    return {frag: t for (_o, frag, t, _l) in _LABELS}
+
+
+def abox_reference_tbox(spark: SparkSession) -> DataFrame:
+    """The golden reference alignment typed by element kind — the TBox
+    alignment input individual matching consumes (the reference's
+    AboxMatcher takes the class/property alignment as given,
+    src/abox_matcher.py:49-63; typing it from the golden alignment makes
+    the ABox chain a standalone deterministic fixture, independent of
+    the lexical/structural matchers that normally produce it)."""
+    types = _elem_types()
+    rows = [
+        (types[x], A + x, B + y, rel) for (x, y, rel) in REFERENCE_ALIGNMENT
+    ]
+    return _local_df(
+        spark, rows, "elem_type string, iri1 string, iri2 string, relation string"
+    )
+
+
 # --- 1:1 selection fixture (src/string_matcher.py:53-63) -----------------
 
 SELECTION_FIXTURE_NAMES_1 = [("1:f", "felix"), ("1:ja", "jane"), ("1:a", "alex"),

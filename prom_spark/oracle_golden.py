@@ -791,3 +791,208 @@ WITH {_fixture_ctes()},
 {_structural_ctes()}
 SELECT elem_type, iri1, iri2, relation, round(rating, 6) AS rating FROM smr
 """
+
+
+# ---------------------------------------------------------------------------
+# q30: blocked individual (ABox) matching twin — reference
+# src/abox_matcher.py:49-271; Spark side matchers/abox.py. Only the
+# fixture individuals / property values / class axioms / typed golden
+# alignment are VALUES tables (input data); the subclass closure
+# (recursive CTE), subclass-unique blocking, DP value-set similarity
+# (equality/subset scoring + cosine over populated cells), OP in/out
+# degree-vector cosines, the weighted full-outer combine, and the
+# sequential greedy 1:1 selection are all re-expressed in SQL.
+# ---------------------------------------------------------------------------
+
+
+def q30_sql() -> str:
+    ab = DEFAULT_CONFIG.abox
+    ind_rows = [
+        (o, fixtures._prefix(o, i), fixtures._prefix(o, c))
+        for (o, i, c) in fixtures._INDIVIDUALS
+    ]
+    pv_rows = [
+        (o, fixtures._prefix(o, s), fixtures._prefix(o, p),
+         ob if dp else fixtures._prefix(o, ob), dp)
+        for (o, s, p, ob, dp) in fixtures._PROP_VALUES
+    ]
+    cax_rows = [
+        (o, fixtures._prefix(o, s), r, fixtures._prefix(o, p),
+         fixtures._prefix(o, ob))
+        for (o, s, r, p, ob) in fixtures._CLASS_AXIOMS
+    ]
+    types = fixtures._elem_types()
+    al_rows = [
+        (types[x], fixtures.A + x, fixtures.B + y, rel)
+        for (x, y, rel) in fixtures.REFERENCE_ALIGNMENT
+    ]
+    return f"""
+WITH RECURSIVE
+ind AS ({_values(ind_rows, "onto, ind, cls",
+                 "onto::VARCHAR AS onto, ind::VARCHAR AS ind, cls::VARCHAR AS cls")}),
+pv AS ({_values(pv_rows, "onto, subj, prop, obj, is_dp",
+                "onto::VARCHAR AS onto, subj::VARCHAR AS subj, prop::VARCHAR AS prop, "
+                "obj::VARCHAR AS obj, is_dp::BOOLEAN AS is_dp")}),
+cax AS ({_values(cax_rows, "onto, subj, rel, prop, obj",
+                 "onto::VARCHAR AS onto, subj::VARCHAR AS subj, rel::VARCHAR AS rel, "
+                 "prop::VARCHAR AS prop, obj::VARCHAR AS obj")}),
+al AS ({_values(al_rows, "elem_type, iri1, iri2, relation",
+                "elem_type::VARCHAR AS elem_type, iri1::VARCHAR AS iri1, "
+                "iri2::VARCHAR AS iri2, relation::VARCHAR AS relation")}),
+-- strict transitive subclass closure per ontology (abox.subclass_closure)
+direct AS (
+  SELECT DISTINCT onto, subj AS descendant, obj AS ancestor FROM cax
+  WHERE rel = 'subclass' AND prop IS NULL AND obj IS NOT NULL),
+closure(onto, descendant, ancestor) AS (
+  SELECT onto, descendant, ancestor FROM direct
+  UNION
+  SELECT c.onto, c.descendant, d.ancestor
+  FROM closure c JOIN direct d ON c.onto = d.onto AND c.ancestor = d.descendant),
+-- instances including descendants (abox._instances_of)
+inst AS (
+  SELECT onto, cls, ind FROM ind
+  UNION
+  SELECT i.onto, c.ancestor AS cls, i.ind
+  FROM ind i JOIN closure c ON i.onto = c.onto AND i.cls = c.descendant),
+ac AS (
+  SELECT DISTINCT iri1 AS c1, iri2 AS c2 FROM al
+  WHERE elem_type = '{CLS}'
+    AND relation IN ('equivalence', 'hypernym', 'hyponym')),
+-- subclass-unique filtering: an individual owned by an ALIGNED strict
+-- descendant is excluded from the ancestor's block (abox._blocked_pairs)
+owned1 AS (
+  SELECT DISTINCT cl.ancestor AS cls, i.ind
+  FROM inst i JOIN closure cl ON i.onto = cl.onto AND i.cls = cl.descendant
+  WHERE i.onto = 'a' AND EXISTS (SELECT 1 FROM ac WHERE ac.c1 = i.cls)),
+owned2 AS (
+  SELECT DISTINCT cl.ancestor AS cls, i.ind
+  FROM inst i JOIN closure cl ON i.onto = cl.onto AND i.cls = cl.descendant
+  WHERE i.onto = 'fr' AND EXISTS (SELECT 1 FROM ac WHERE ac.c2 = i.cls)),
+u1 AS (
+  SELECT i.cls AS c1, i.ind AS ind1 FROM inst i WHERE i.onto = 'a'
+  AND NOT EXISTS (SELECT 1 FROM owned1 o WHERE o.cls = i.cls AND o.ind = i.ind)),
+u2 AS (
+  SELECT i.cls AS c2, i.ind AS ind2 FROM inst i WHERE i.onto = 'fr'
+  AND NOT EXISTS (SELECT 1 FROM owned2 o WHERE o.cls = i.cls AND o.ind = i.ind)),
+pairs AS (
+  SELECT DISTINCT ind1, ind2 FROM ac JOIN u1 USING (c1) JOIN u2 USING (c2)),
+-- name similarity: normalized Levenshtein on IRI fragments
+name_s AS (
+  SELECT ind1, ind2,
+         CASE WHEN greatest(length(f1), length(f2)) = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(f1, f2)
+                         / greatest(length(f1), length(f2)) END AS str_rating
+  FROM (SELECT ind1, ind2,
+               regexp_replace(ind1, '.*#', '') AS f1,
+               regexp_replace(ind2, '.*#', '') AS f2 FROM pairs) t),
+-- DP value-set vectors over aligned DP dimensions: populated cells only
+dp_dims AS (
+  SELECT DISTINCT iri1 AS dp1, iri2 AS dp2 FROM al
+  WHERE elem_type = '{DP}'),
+vals1 AS (
+  SELECT subj AS ind1, prop AS dp1, list(obj ORDER BY obj) AS v1
+  FROM pv WHERE onto = 'a' AND is_dp GROUP BY 1, 2),
+vals2 AS (
+  SELECT subj AS ind2, prop AS dp2, list(obj ORDER BY obj) AS v2
+  FROM pv WHERE onto = 'fr' AND is_dp GROUP BY 1, 2),
+p1 AS (
+  SELECT p.ind1, p.ind2, v.dp1, v.dp2, v.v1
+  FROM pairs p JOIN (SELECT * FROM vals1 JOIN dp_dims USING (dp1)) v USING (ind1)),
+p2 AS (
+  SELECT p.ind1, p.ind2, v.dp1, v.dp2, v.v2
+  FROM pairs p JOIN (SELECT * FROM vals2 JOIN dp_dims USING (dp2)) v USING (ind2)),
+dp_cells AS (
+  SELECT ind1, ind2,
+         CASE WHEN v1 IS NULL OR v2 IS NULL THEN 0.0
+              WHEN v1 = v2 THEN 1.0
+              WHEN list_has_all(v2, v1) THEN 0.5
+              WHEN list_has_all(v1, v2) THEN 0.5
+              ELSE 0.0 END AS b
+  FROM p1 FULL OUTER JOIN p2 USING (ind1, ind2, dp1, dp2)),
+dp_scored AS (
+  SELECT ind1, ind2,
+         CASE WHEN count(*) >= {ab.op_threshold!r} AND sum(b * b) > 0
+              THEN sum(b) / (sqrt(count(*)) * sqrt(sum(b * b)))
+              ELSE 0.0 END AS dp_sim
+  FROM dp_cells GROUP BY 1, 2),
+-- OP degree vectors (outgoing / incoming), zero-dropping cosine
+op_dims AS (
+  SELECT DISTINCT iri1 AS op1, iri2 AS op2 FROM al
+  WHERE elem_type = '{OP}'),
+deg_out1 AS (SELECT subj AS ind1, prop AS op1, count(*) AS deg1
+             FROM pv WHERE onto = 'a' AND NOT is_dp GROUP BY 1, 2),
+deg_out2 AS (SELECT subj AS ind2, prop AS op2, count(*) AS deg2
+             FROM pv WHERE onto = 'fr' AND NOT is_dp GROUP BY 1, 2),
+deg_in1 AS (SELECT obj AS ind1, prop AS op1, count(*) AS deg1
+            FROM pv WHERE onto = 'a' AND NOT is_dp GROUP BY 1, 2),
+deg_in2 AS (SELECT obj AS ind2, prop AS op2, count(*) AS deg2
+            FROM pv WHERE onto = 'fr' AND NOT is_dp GROUP BY 1, 2),
+opo_cells AS (
+  SELECT ind1, ind2, coalesce(deg1, 0)::DOUBLE AS d1, coalesce(deg2, 0)::DOUBLE AS d2
+  FROM (SELECT p.ind1, p.ind2, v.op1, v.op2, v.deg1
+        FROM pairs p JOIN (SELECT * FROM deg_out1 JOIN op_dims USING (op1)) v USING (ind1)) a
+  FULL OUTER JOIN
+       (SELECT p.ind1, p.ind2, v.op1, v.op2, v.deg2
+        FROM pairs p JOIN (SELECT * FROM deg_out2 JOIN op_dims USING (op2)) v USING (ind2)) b
+  USING (ind1, ind2, op1, op2)),
+opo AS (
+  SELECT ind1, ind2,
+         CASE WHEN count(*) >= {ab.op_threshold!r}
+                   AND sum(d1 * d1) > 0 AND sum(d2 * d2) > 0
+              THEN sum(d1 * d2) / (sqrt(sum(d1 * d1)) * sqrt(sum(d2 * d2)))
+              ELSE 0.0 END AS opo_sim
+  FROM opo_cells GROUP BY 1, 2),
+opi_cells AS (
+  SELECT ind1, ind2, coalesce(deg1, 0)::DOUBLE AS d1, coalesce(deg2, 0)::DOUBLE AS d2
+  FROM (SELECT p.ind1, p.ind2, v.op1, v.op2, v.deg1
+        FROM pairs p JOIN (SELECT * FROM deg_in1 JOIN op_dims USING (op1)) v USING (ind1)) a
+  FULL OUTER JOIN
+       (SELECT p.ind1, p.ind2, v.op1, v.op2, v.deg2
+        FROM pairs p JOIN (SELECT * FROM deg_in2 JOIN op_dims USING (op2)) v USING (ind2)) b
+  USING (ind1, ind2, op1, op2)),
+opi AS (
+  SELECT ind1, ind2,
+         CASE WHEN count(*) >= {ab.op_threshold!r}
+                   AND sum(d1 * d1) > 0 AND sum(d2 * d2) > 0
+              THEN sum(d1 * d2) / (sqrt(sum(d1 * d1)) * sqrt(sum(d2 * d2)))
+              ELSE 0.0 END AS opi_sim
+  FROM opi_cells GROUP BY 1, 2),
+-- weighted combine (label .2 / structure .8; dp/opo/opi .4/.3/.3)
+struct_s AS (
+  SELECT p.ind1, p.ind2,
+         {ab.dp!r} * coalesce(dp_sim, 0.0)
+         + {ab.op_outgoing!r} * coalesce(opo_sim, 0.0)
+         + {ab.op_incoming!r} * coalesce(opi_sim, 0.0) AS struct_rating
+  FROM pairs p
+  LEFT JOIN dp_scored USING (ind1, ind2)
+  LEFT JOIN opo USING (ind1, ind2)
+  LEFT JOIN opi USING (ind1, ind2)),
+combined AS (
+  SELECT ind1, ind2,
+         {ab.label!r} * coalesce(str_rating, 0.0)
+         + {ab.structure!r} * coalesce(struct_rating, 0.0) AS rating
+  FROM name_s FULL OUTER JOIN struct_s USING (ind1, ind2)),
+-- greedy 1:1 selection: sequential walk under the total order
+-- (rating desc, ind1, ind2), strictly-greater threshold
+thresholded AS (SELECT * FROM combined WHERE rating > {ab.overall_threshold!r}),
+ranked AS (
+  SELECT ind1, ind2, rating,
+         row_number() OVER (ORDER BY rating DESC, ind1, ind2) AS rk
+  FROM thresholded),
+g(rk, used1, used2, ind1, ind2, rating, sel) AS (
+  SELECT 0, []::VARCHAR[], []::VARCHAR[],
+         NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE, false
+  UNION ALL
+  SELECT s.rk,
+         CASE WHEN NOT list_contains(g.used1, s.ind1)
+                   AND NOT list_contains(g.used2, s.ind2)
+              THEN list_append(g.used1, s.ind1) ELSE g.used1 END,
+         CASE WHEN NOT list_contains(g.used1, s.ind1)
+                   AND NOT list_contains(g.used2, s.ind2)
+              THEN list_append(g.used2, s.ind2) ELSE g.used2 END,
+         s.ind1, s.ind2, s.rating,
+         (NOT list_contains(g.used1, s.ind1)
+          AND NOT list_contains(g.used2, s.ind2))
+  FROM g JOIN ranked s ON s.rk = g.rk + 1)
+SELECT ind1, ind2, round(rating, 6) AS rating FROM g WHERE sel
+"""

@@ -1175,6 +1175,39 @@ def q27_structural_blend(spark, sf_dir):
         ).localCheckpoint(eager=True)
 
 
+def q30_abox_match(spark, sf_dir):
+    """J7/J8/J11 + A3/A4 + X8/X9 + W1: blocked individual (ABox)
+    matching end-to-end over the reference fixture individuals —
+    subclass-closure blocking with subclass-unique filtering, DP
+    value-set vectors (equality/subset scoring + cosine over populated
+    cells), OP in/out degree-vector cosines, .2 label / .8 structure
+    combine, greedy 1:1 selection (reference src/abox_matcher.py:49-271).
+    The TBox alignment input is the typed golden reference alignment
+    (fixtures.abox_reference_tbox) so the chain is deterministic and
+    independent of the lexical/structural matchers. Oracle: independent
+    SQL re-expression in oracle_golden.q30_sql (recursive-CTE closure +
+    sequential greedy twin)."""
+    from prom_spark import fixtures
+    from prom_spark.matchers.abox import abox_match
+
+    with _few_shuffle_partitions(spark):
+        inds = fixtures.individuals(spark)
+        pvs = fixtures.prop_values(spark)
+        cax = fixtures.class_axioms(spark)
+        out = abox_match(
+            inds.filter(F.col("onto") == "a"),
+            inds.filter(F.col("onto") == "fr"),
+            pvs.filter(F.col("onto") == "a"),
+            pvs.filter(F.col("onto") == "fr"),
+            fixtures.abox_reference_tbox(spark),
+            cax.filter(F.col("onto") == "a"),
+            cax.filter(F.col("onto") == "fr"),
+        )
+        return out.select(
+            "ind1", "ind2", F.round("rating", 6).alias("rating")
+        ).localCheckpoint(eager=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -1206,11 +1239,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_structural_blend": q27_structural_blend,
         "q28_embedding_near_dupes": q28_embedding_near_dupes,
         "q29_simhash_near_dupes": q29_simhash_near_dupes,
+        "q30_abox_match": q30_abox_match,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from prom_spark.oracle_golden import q26_sql as _q26_sql, q27_sql as _q27_sql
+    from prom_spark.oracle_golden import (
+        q26_sql as _q26_sql,
+        q27_sql as _q27_sql,
+        q30_sql as _q30_sql,
+    )
 
     return {
         "q01_lineitem_agg": _Q01_SQL,
@@ -1242,4 +1280,5 @@ def oracle_sql() -> dict[str, str]:
         "q27_structural_blend": _q27_sql(),
         "q28_embedding_near_dupes": _q28_sql(),
         "q29_simhash_near_dupes": _Q29_SQL,
+        "q30_abox_match": _q30_sql(),
     }

@@ -79,6 +79,25 @@ def test_blocking_excludes_subclass_owned(spark, abox_selection):
     assert len(mm1) == 1 and mm1[0].ind2.endswith("#aa5")
 
 
+def test_q30_abox_oracle_query(spark):
+    """The q30 oracle entry (ABox chain over the typed golden alignment,
+    fixtures.abox_reference_tbox) must select the same individual pairs
+    as the align_tbox-driven chain — the blocking classes and DP/OP dims
+    coincide on the fixture — with ratings at 6-decimal precision."""
+    import math
+
+    from prom_spark.queries import q30_abox_match
+
+    got = {
+        (r.ind1.split("#")[1], r.ind2.split("#")[1]): r.rating
+        for r in q30_abox_match(spark, "").collect()
+    }
+    assert set(got) == {
+        ("mm1", "aa5"), ("mm2", "aa4"), ("mm3", "aa3"), ("mm4", "aa2"), ("mm5", "aa1")
+    }
+    assert math.isclose(got[("mm2", "aa4")], 0.32, rel_tol=1e-6)
+
+
 def test_abox_plan_has_no_pair_dims_expansion(spark, tbox_alignment):
     """The dp/op scoring must never build the |pairs| x |dims| grid: the
     physical plan may contain no cartesian/nested-loop join (the only way
