@@ -161,7 +161,7 @@ def main() -> None:
             # per-stage efficiency attribution
             stage_sec = {}
             for st in ("ingest", "grams", "fuzzy_scores", "candidates",
-                       "entity_map", "linked", "triples_raw", "triples"):
+                       "entity_map", "triples_raw", "triples"):
                 try:
                     stage_sec[st] = result.store.metrics(st)["duration_sec"]
                 except FileNotFoundError:

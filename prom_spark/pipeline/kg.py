@@ -416,10 +416,23 @@ def _per_turn_select(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     entity_map: DataFrame | None = None,
     preds: DataFrame | None = None,
+    layout: dict | None = None,
 ) -> DataFrame:
     """Scored candidate stream -> (conv_id, turn_idx, ents) in one
     shuffle, canonical ids applied pre-grouping, per-span selection
     inside the sorted array (see ``link_mentions_per_turn``).
+
+    ``layout``: optional ``_bucket_layout`` kwargs
+    (``n_buckets``/``n_rows``/``min_bucket_rows``). When given, the
+    grouping shuffle IS the published bucket layout: the candidate rows
+    are repartitioned on (bucket[, _sub]) — both functions of conv_id —
+    before the per-turn aggregation, and those columns join the grouping
+    keys, so Catalyst recognizes the repartition as satisfying the
+    aggregation's distribution (subset rule) and plans no second
+    exchange. The output carries bucket[, _sub], which downstream
+    ``extract_triples`` threads into the `follows` window's partition
+    keys the same way — one exchange serves the grouping, the window,
+    and the final bucketed write.
 
     ``preds``: optional predicate-occurrence stream (conv_id, turn_idx,
     gram, start — from ``detect_predicates`` / the fused candidate
@@ -456,10 +469,13 @@ def _per_turn_select(
         """
     ).alias("ents")
     if preds is None:
-        per_turn = cand.groupBy("conv_id", "turn_idx").agg(
+        if layout is not None:
+            cand = _bucket_layout(cand, keep_sub=True, **layout)
+        keys = [c for c in ("bucket", "_sub") if c in cand.columns]
+        per_turn = cand.groupBy(*keys, "conv_id", "turn_idx").agg(
             F.array_sort(F.collect_list(cand_struct)).alias("_cands")
         )
-        return per_turn.select("conv_id", "turn_idx", ents_expr)
+        return per_turn.select(*keys, "conv_id", "turn_idx", ents_expr)
     rows = cand.select(
         "conv_id",
         "turn_idx",
@@ -475,15 +491,18 @@ def _per_turn_select(
             ).alias("_p"),
         )
     )
+    if layout is not None:
+        rows = _bucket_layout(rows, keep_sub=True, **layout)
+    keys = [c for c in ("bucket", "_sub") if c in rows.columns]
     per_turn = (
-        rows.groupBy("conv_id", "turn_idx")
+        rows.groupBy(*keys, "conv_id", "turn_idx")
         .agg(
             F.array_sort(F.collect_list("_c")).alias("_cands"),
             F.array_sort(F.collect_list("_p")).alias("preds"),
         )
         .filter(F.size("_cands") > 0)
     )
-    return per_turn.select("conv_id", "turn_idx", ents_expr, "preds")
+    return per_turn.select(*keys, "conv_id", "turn_idx", ents_expr, "preds")
 
 
 def extract_triples(
@@ -917,9 +936,22 @@ def build_kg(
         inputs=["<dictionary>"],
     )
 
-    linked = store.get_or_compute(
-        "linked",
-        lambda: _per_turn_select(
+    # per-turn linking and triple extraction share ONE plan and ONE
+    # shuffle exchange: scored candidates (all map-side broadcast joins
+    # over the candidates checkpoint) are repartitioned once into the
+    # published bucket layout, and that exchange serves the per-turn
+    # grouping, the cross-turn `follows` window AND the final bucketed
+    # write (layout= threads bucket[,_sub] into the grouping and window
+    # keys — subset rule, see _per_turn_select). The per-turn linked
+    # table is never materialized: checkpointing it was a full
+    # corpus-sized write + re-read + second exchange purely to resume a
+    # sub-stage (scoring + grouping) that is cheap next to the candidate
+    # detection it resumes FROM — at 10^12 turns that round-trip is the
+    # largest avoidable cost left in the plan. `linked_mentions` on the
+    # result is the same sub-plan, lazily re-derived from the candidates
+    # checkpoint when a consumer actually evaluates it.
+    def _linked_plan(layout: dict | None = None) -> DataFrame:
+        return _per_turn_select(
             _score_candidates(
                 candidates.filter(F.col("kind") == "m").drop("kind"),
                 dict_slim, fuzzy_scores, cfg,
@@ -932,34 +964,24 @@ def build_kg(
             cfg,
             entity_map,
             preds=candidates.filter(F.col("kind") == "p"),
-        ),
-        resume=resume,
-        inputs=["candidates", "fuzzy_scores", "<dictionary>", "entity_map"],
-        require_cols=["ents", "preds"],
-    )
+            layout=layout,
+        )
 
-    # triples_raw is already canonical and per-turn deduped (ids were
-    # canonicalized inside the linked stage), and it is written DIRECTLY
-    # in the published layout — bucketed by hash(conv_id), sorted within
-    # partitions. Because `linked` carries the predicate positions, this
-    # stage plans as ONE exchange total: the layout repartition doubles
-    # as the `follows` window's distribution (keep_sub=True threads the
-    # composite key into the window partition keys) — no transcript
-    # re-scan, no join, no global distinct.
     triples_raw = store.get_or_compute(
         "triples_raw",
-        # the linked checkpoint's recorded row count gates the layout
+        # the ingest checkpoint's recorded row count (= turns, the row
+        # grain entering the layout shuffle) gates the write-balancing
         # sub-split for free (no count job)
         lambda: extract_triples(
             None,
-            _bucket_layout(
-                linked, n_buckets, keep_sub=True,
-                n_rows=store.metrics("linked")["rows"],
+            _linked_plan(layout=dict(
+                n_buckets=n_buckets,
+                n_rows=store.metrics("ingest")["rows"],
                 min_bucket_rows=cfg.sub_split_min_bucket_rows,
-            ),
+            )),
         ).drop("_sub"),
         resume=resume,
-        inputs=["linked"],
+        inputs=["candidates", "fuzzy_scores", "<dictionary>", "entity_map"],
         partition_by=["bucket"],
         sort_within_partitions=["conv_id", "turn_idx"],
     )
@@ -974,8 +996,9 @@ def build_kg(
         "triples", "triples_raw", resume=resume,
         inputs=["triples_raw", "entity_map"],
     )
-    # flat per-mention view of the per-turn linked stage (lazy explode)
-    linked_flat = linked.select(
+    # flat per-mention view of the per-turn linking (fully lazy: the
+    # sub-plan re-derives from the candidates checkpoint on evaluation)
+    linked_flat = _linked_plan().select(
         "conv_id", "turn_idx", F.explode("ents").alias("e")
     ).select(
         "conv_id",

@@ -93,7 +93,7 @@ def test_determinism_fresh_dir(spark, kg, tmp_path):
 
 def test_metrics_lineage(spark, kg):
     _, _, res, base = kg
-    for stage in ["ingest", "grams", "fuzzy_scores", "candidates", "linked", "triples_raw", "entity_map", "triples"]:
+    for stage in ["ingest", "grams", "fuzzy_scores", "candidates", "triples_raw", "entity_map", "triples"]:
         assert res.store.exists(stage), stage
         m = res.store.metrics(stage)
         assert m["rows"] > 0

@@ -82,3 +82,49 @@ def test_link_selection_plan_is_partial_agg(spark):
     tree = _op_tree(_formatted_plan(spark, linked))
     assert "Window" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_build_kg_triple_stage_single_shuffle(spark):
+    """The whole linking+extraction stage — scored candidates (broadcast
+    joins), per-turn aggregation, `follows` window, triple explode —
+    must plan over exactly ONE shuffle exchange: the bucket-layout
+    repartition that `build_kg` threads through the grouping keys, the
+    window partition keys and the bucketed write (round-4 fusion: the
+    per-turn linked intermediate is never materialized)."""
+    from pyspark.sql import functions as F
+
+    from prom_spark.pipeline.kg import (
+        _per_turn_select,
+        _score_candidates,
+        extract_triples,
+    )
+
+    candidates = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, gram string, start int, "
+        "end int, kind string"
+    )
+    dict_slim = spark.createDataFrame(
+        [], "alias string, entity_id string, embedding array<double>"
+    )
+    fuzzy = spark.createDataFrame(
+        [], "gram string, entity_id string, rating double"
+    )
+    emap = spark.createDataFrame([], "entity_id string, canonical_id string")
+
+    scored = _score_candidates(
+        candidates.filter(F.col("kind") == "m").drop("kind"),
+        dict_slim, fuzzy, use_salting=False, fuzzy_rows=0,
+    )
+    for n_rows, min_rows in ((None, None), (10_000_000, 1)):
+        lp = _per_turn_select(
+            scored,
+            entity_map=emap,
+            preds=candidates.filter(F.col("kind") == "p"),
+            layout=dict(n_buckets=32, n_rows=n_rows, min_bucket_rows=min_rows),
+        )
+        fused = extract_triples(None, lp).drop("_sub")
+        tree = _op_tree(_formatted_plan(spark, fused))
+        n_shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+        assert n_shuffles == 1, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert "Window" in tree, tree
