@@ -84,13 +84,21 @@ def main() -> None:
         hot_keys=hot,
     )
     metrics = result.store.metrics("triples")
+    # the stage set is whatever this run checkpointed under --output (works
+    # on resume too), not a hard-coded list — stage names change across
+    # pipeline versions (round 4 fused `linked` away entirely)
+    try:
+        stages = sorted(
+            d for d in os.listdir(args.output)
+            if os.path.exists(os.path.join(args.output, d, "metrics.json"))
+        )
+    except OSError:  # non-local stage store (hdfs://, s3a://)
+        stages = sorted(result.store.lineage)
     print(json.dumps({
         "triples": metrics["rows"],
         "partitions": len(metrics.get("partitions", [])),
         "stages": {
-            s: result.store.metrics(s).get("duration_sec")
-            for s in ("ingest", "grams", "fuzzy_scores", "candidates",
-                      "entity_map", "linked", "triples_raw", "triples")
+            s: result.store.metrics(s).get("duration_sec") for s in stages
         },
         "output": args.output,
     }))
