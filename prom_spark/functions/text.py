@@ -40,15 +40,22 @@ def normalize_label(col: Column | str) -> Column:
     return F.lower(F.trim(F.regexp_replace(unsnake, r"\s+", " ")))
 
 
+def _wstrip(col: Column) -> Column:
+    """Strip ALL leading/trailing whitespace. ``F.trim`` strips only
+    ASCII spaces (as does DuckDB's ``trim`` default), so a text ending
+    in ``\\n`` would split into a phantom empty token — found by the
+    property gate in tests/test_property_text.py."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def tokenize(col: Column | str) -> Column:
     """Whitespace tokenizer over normalized text -> array<string>."""
-    c = _c(col)
-    return F.split(F.trim(c), r"\s+")
+    return F.split(_wstrip(_c(col)), r"\s+")
 
 
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (0 for empty/blank strings)."""
-    c = F.trim(_c(col))
+    c = _wstrip(_c(col))
     return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
 
 

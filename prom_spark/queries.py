@@ -605,17 +605,22 @@ def q16_doc_stats(spark, sf_dir):
 
 _Q16_SQL = f"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+            ELSE len(regexp_split_to_array(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+       END AS n_tokens,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe,
        round(0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
                     / length(text))
              + 0.4 * least(1.0, length(text) / 200.0)
              + 0.2 * (CASE WHEN regexp_matches(text, '[.!?]\\s*$') THEN 1.0 ELSE 0.0 END),
              6) AS quality,
-       round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       round(len(list_filter(regexp_split_to_array(
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                              t -> list_contains({_STOP_SQL}, t)))::DOUBLE
-             / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) AS stop_ratio,
+             / len(regexp_split_to_array(
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')),
+             6) AS stop_ratio,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
 FROM documents
 """
@@ -634,9 +639,12 @@ def q17_langid(spark, sf_dir):
 
 _Q17_SQL = f"""
 SELECT doc_id, lang,
-       CASE WHEN round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       CASE WHEN round(len(list_filter(regexp_split_to_array(
+                         regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                        t -> list_contains({_STOP_SQL}, t)))::DOUBLE
-                       / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) >= 0.05
+                       / len(regexp_split_to_array(
+                         regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')),
+                       6) >= 0.05
             THEN 'en' ELSE 'other' END AS lang_pred
 FROM documents
 """

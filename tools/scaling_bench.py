@@ -38,25 +38,46 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+_GIT_REV_CACHE: str | None = None
+
+
 def _git_rev() -> str:
     """Content hash of the code that determines the measured job.
 
-    Hashing ``prom_spark/**/*.py`` + ``bench.py`` instead of the git
-    revision keeps accumulated reps comparable across doc-only commits
-    (the host's bad phases outlast single invocations, so bests must
-    accumulate over hours) while still invalidating them the moment any
-    measured code path changes."""
+    Hashes ``bench.py`` plus the TRANSITIVE prom_spark import closure of
+    the measured job (``bench.py --kg-only`` reaches ``pipeline.kg`` +
+    ``datagen`` + ``session``), discovered by importing it rather than
+    maintained as a list. Hashing content instead of the git revision
+    keeps accumulated reps comparable across doc-only commits (the
+    host's bad phases outlast single invocations, so bests must
+    accumulate over hours); hashing the closure instead of the whole
+    tree keeps them comparable across changes to query/operator modules
+    the kg job never loads — while still invalidating the moment any
+    module on the measured path changes."""
+    global _GIT_REV_CACHE
+    if _GIT_REV_CACHE is not None:
+        return _GIT_REV_CACHE
     import hashlib
+    import importlib
 
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    for m in ("prom_spark.pipeline.kg", "prom_spark.datagen",
+              "prom_spark.session"):
+        importlib.import_module(m)
+    files = {os.path.join(REPO, "bench.py")}
+    files |= {
+        mod.__file__
+        for name, mod in sys.modules.items()
+        if name.startswith("prom_spark") and getattr(mod, "__file__", None)
+    }
     h = hashlib.sha256()
-    files = [os.path.join(REPO, "bench.py")]
-    for root, _dirs, names in os.walk(os.path.join(REPO, "prom_spark")):
-        files += [os.path.join(root, n) for n in names if n.endswith(".py")]
     for f in sorted(files):
-        h.update(f.encode())
+        h.update(os.path.relpath(f, REPO).encode())
         with open(f, "rb") as fh:
             h.update(fh.read())
-    return "code:" + h.hexdigest()[:12]
+    _GIT_REV_CACHE = "kg:" + h.hexdigest()[:12]
+    return _GIT_REV_CACHE
 
 
 def _spin(n: int) -> float:
@@ -452,11 +473,14 @@ end-to-end number rather than inferring it from host correlation:
 (independent of corpus size) — its efficiency is expected to be poor and
 its absolute seconds negligible, as is `fuzzy_scores` (bounded by
 vocabulary, not corpus); the corpus-proportional stages (ingest,
-grams, candidates, linked, triples_raw) are the meaningful rows. The former
-`triples` stage no longer appears: the published triple table is a
+grams, candidates, triples_raw) are the meaningful rows. Two former
+stages no longer appear: the published `triples` table is a
 metadata-only alias of `triples_raw`, which is written directly in the
 final bucketed-sorted layout (one exchange+write of the largest output
-instead of two).
+instead of two), and `linked` was fused into `triples_raw` — per-turn
+linking, the cross-turn follows window and the bucketed write share one
+exchange, so the former corpus-sized linked checkpoint (write + re-read
++ second exchange) is gone entirely.
 
 Host calibration at measurement time, {n}→{4*n} processes (all three
 are plain multiprocessing, no Spark, no JVM):
@@ -487,9 +511,11 @@ bucket)` with buckets ≈ cores leaves ~1/e of write tasks empty
 waves stopped hiding the skew; sub-splitting the shuffle key
 (`_bucket_layout`, prom_spark/pipeline/kg.py) restored balanced writes
 and removed the second full write of the triple table outright. Round 4
-gated that sub-split on measured rows-per-bucket: it only engages where
-bucket writes are long enough to straggle, so small inputs (the sf0.1
-flagship) keep the plain one-file-per-bucket layout.
+gated that sub-split on measured rows-per-bucket (it only engages where
+bucket writes are long enough to straggle, so small inputs — the sf0.1
+flagship — keep the plain one-file-per-bucket layout) and fused the
+`linked` stage away (see above), deleting a full corpus-sized
+checkpoint round-trip from the measured wall at both levels.
 
 A cluster of N→4N EXECUTORS — the regime the north_rule targets — adds a
 cache/memory subsystem with every node, so this single-box ceiling does
