@@ -1216,6 +1216,110 @@ def q30_abox_match(spark, sf_dir):
         ).localCheckpoint(eager=True)
 
 
+_TRI_K = 64  # profile size: top-K trigrams per language
+
+
+def q31_trigram_langid(spark, sf_dir):
+    """N5 char-trigram language-ID (Cavnar–Trenkle-style rank profiles).
+
+    Two stages, both pure DataFrame ops (reference analogue: the
+    row-at-a-time langdetect call at src/compare_by_labels.py:85-90):
+
+      1. profile build — explode char trigrams of the normalized text,
+         count per (lang, trigram), keep the top-K per language by
+         (count desc, trigram asc); weight = K - rank + 1. The profile
+         table is K × n_langs rows — broadcast-sized at ANY corpus
+         scale (the groupBy is a map-side-combinable shuffle over at
+         most |Σ|³ distinct keys per language).
+      2. scoring — each doc's DISTINCT trigrams broadcast-join the
+         profile; score per (doc, lang) = Σ weights; argmax with a
+         deterministic (score desc, lang asc) tie-break.
+
+    On the synthetic documents table the lang label is independent of
+    the text (all languages share one vocabulary), so predictions
+    cluster on the majority profile — the oracle gates the exact
+    computation (profiles, scores, tie-breaks), not model accuracy.
+    Integer weights keep the hash comparison exact."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    docs = d.select("doc_id", "lang", norm.alias("t"))
+    tris = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(t) >= 3 THEN "
+                "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+                "ELSE array() END"
+            )
+        ).alias("tri"),
+    )
+    rnk_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
+    prof = (
+        tris.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= _TRI_K)
+        .select(
+            F.col("lang").alias("plang"),
+            "tri",
+            (F.lit(_TRI_K) - F.col("rnk") + 1).cast("long").alias("wgt"),
+        )
+    )
+    doc_tris = tris.select("doc_id", "tri").distinct()
+    scores = (
+        doc_tris.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum("wgt").alias("score"))
+    )
+    sel_w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(sel_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("lang_pred"), "score")
+    )
+    return docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("lang_pred", F.lit("unk")).alias("lang_pred"),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+    )
+
+
+_Q31_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), tris AS (
+  SELECT doc_id, lang, substr(t, i, 3) AS tri
+  FROM docs, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE length(t) >= 3
+), prof AS (
+  SELECT lang AS plang, tri, ({_TRI_K} - rnk + 1)::BIGINT AS wgt FROM (
+    SELECT lang, tri,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, tri ASC) AS rnk
+    FROM tris GROUP BY lang, tri
+  ) WHERE rnk <= {_TRI_K}
+), doc_tris AS (
+  SELECT DISTINCT doc_id, tri FROM tris
+), scores AS (
+  SELECT doc_id, plang, sum(wgt) AS score
+  FROM doc_tris JOIN prof USING (tri) GROUP BY doc_id, plang
+), best AS (
+  SELECT doc_id, plang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, plang ASC) AS rn
+  FROM scores
+)
+SELECT d.doc_id, d.lang,
+       coalesce(b.plang, 'unk') AS lang_pred,
+       coalesce(b.score, 0)::BIGINT AS score
+FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -1248,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_embedding_near_dupes": q28_embedding_near_dupes,
         "q29_simhash_near_dupes": q29_simhash_near_dupes,
         "q30_abox_match": q30_abox_match,
+        "q31_trigram_langid": q31_trigram_langid,
     }
 
 
@@ -1289,4 +1394,5 @@ def oracle_sql() -> dict[str, str]:
         "q28_embedding_near_dupes": _q28_sql(),
         "q29_simhash_near_dupes": _Q29_SQL,
         "q30_abox_match": _q30_sql(),
+        "q31_trigram_langid": _Q31_SQL,
     }
