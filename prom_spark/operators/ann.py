@@ -146,3 +146,67 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("probe_id", "vec_id", "sim", "rk")
     )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+    band_planes: int = 6,
+    n_bands: int = 18,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k — the deterministic scale path.
+
+    Banded random-hyperplane signatures (same md5-derived planes and
+    Arrow-batched matmul kernel as ``operators.dedup``): corpus and
+    probes hash into ``n_bands`` buckets of ``band_planes`` sign bits
+    each; only pairs sharing at least one bucket get an exact cosine,
+    then a per-probe top-k window with a (sim desc, vec_id) tie-break.
+
+    Versus ``ivf_topk`` this path is fully deterministic (no iterative
+    centroids, so it carries a DuckDB oracle twin — q32) and needs no
+    training pass; the trade is band geometry: short bands keep recall
+    for moderate-cosine neighbors (a cos 0.5 neighbor agrees with one
+    plane at p~0.667, one 6-bit band at ~0.088, >=1 of 18 bands at
+    ~0.81) at the cost of weaker random-pair selectivity (~2^-6 per
+    band). Candidates carry only (probe_id, vec_id); embeddings re-join
+    by id so the wide payload never rides the candidate shuffle. At
+    cluster scale the probe signatures broadcast and the corpus
+    signature stream partitions by bucket — no all-pairs stage anywhere.
+    """
+    from prom_spark.operators.dedup import _band_bucket_udf, _deterministic_planes
+
+    first = corpus.select(F.col(emb_col)).limit(1).collect()
+    dim = len(first[0][0]) if first else 0
+    if dim == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "probe_id long, vec_id long, sim double, rk int"
+        )
+    planes = _deterministic_planes(band_planes * n_bands, dim)
+    buckets = _band_bucket_udf(planes, band_planes, n_bands)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("_e")
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(emb_col).cast("array<double>").alias("_p"),
+    )
+    c_sig = c.select("vec_id", F.explode(buckets(F.col("_e"))).alias("bucket"))
+    p_sig = p.select("probe_id", F.explode(buckets(F.col("_p"))).alias("bucket"))
+    cand = (
+        c_sig.join(F.broadcast(p_sig), on="bucket")
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.join(c, on="vec_id")
+        .join(F.broadcast(p), on="probe_id")
+        .withColumn("sim", cosine_sim("_e", "_p"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "vec_id", "sim", "rk")
+    )

@@ -1216,6 +1216,66 @@ def q30_abox_match(spark, sf_dir):
         ).localCheckpoint(eager=True)
 
 
+def q32_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k (the deterministic scale path next to the
+    q10/q12 brute-force baseline and the recall-tested IVF operator).
+
+    Probes are vec_id < 3, corpus is the rest; identical md5-derived
+    hyperplanes on both engines make buckets — hence candidates, hence
+    the top-k — bit-reproducible, so approximation error never enters
+    the hash comparison."""
+    from prom_spark.operators.ann import lsh_topk
+
+    e = _emb(spark, sf_dir)
+    out = lsh_topk(
+        e.filter(F.col("vec_id") >= 3).select("vec_id", F.col("emb").alias("embedding")),
+        e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("probe_id"), F.col("emb").alias("embedding")
+        ),
+        k=10,
+    )
+    return out.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), "rk")
+
+
+def _q32_sql() -> str:
+    return f"""
+WITH planes AS ({_planes_sql(108, 64)}),
+corpus AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 3),
+probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 3),
+c_sig AS MATERIALIZED (
+  SELECT vec_id,
+         (pid // 6)::VARCHAR || ':' ||
+         string_agg(CASE WHEN list_dot_product(e, p) > 0 THEN 1 ELSE 0 END::VARCHAR,
+                    '' ORDER BY pid) AS bucket
+  FROM corpus CROSS JOIN planes GROUP BY vec_id, pid // 6),
+p_sig AS MATERIALIZED (
+  SELECT probe_id,
+         (pid // 6)::VARCHAR || ':' ||
+         string_agg(CASE WHEN list_dot_product(e, p) > 0 THEN 1 ELSE 0 END::VARCHAR,
+                    '' ORDER BY pid) AS bucket
+  FROM probes CROSS JOIN planes GROUP BY probe_id, pid // 6),
+cand AS (
+  SELECT DISTINCT probe_id, vec_id FROM c_sig JOIN p_sig USING (bucket)),
+scored AS (
+  -- rank by the RAW double (the Spark operator's window does), round
+  -- only in the output: a 6-dp tie at the k boundary must not reorder
+  SELECT cand.probe_id, cand.vec_id,
+         list_dot_product(c.e, pr.e)
+         / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(pr.e, pr.e)))
+         AS sim_raw
+  FROM cand
+  JOIN corpus c ON c.vec_id = cand.vec_id
+  JOIN probes pr ON pr.probe_id = cand.probe_id)
+SELECT probe_id, vec_id, round(sim_raw, 6) AS sim, rk FROM (
+  SELECT probe_id, vec_id, sim_raw,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim_raw DESC, vec_id) AS rk
+  FROM scored) WHERE rk <= 10
+"""
+
+
 _TRI_K = 64  # profile size: top-K trigrams per language
 
 
@@ -1353,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_simhash_near_dupes": q29_simhash_near_dupes,
         "q30_abox_match": q30_abox_match,
         "q31_trigram_langid": q31_trigram_langid,
+        "q32_lsh_ann_topk": q32_lsh_ann_topk,
     }
 
 
@@ -1395,4 +1456,5 @@ def oracle_sql() -> dict[str, str]:
         "q29_simhash_near_dupes": _Q29_SQL,
         "q30_abox_match": _q30_sql(),
         "q31_trigram_langid": _Q31_SQL,
+        "q32_lsh_ann_topk": _q32_sql(),
     }

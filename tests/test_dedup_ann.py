@@ -223,3 +223,33 @@ def test_embedding_near_dupes(spark):
     got = {(r.id1, r.id2) for r in embedding_near_dupes(df, "vec_id", "embedding", 0.95, 4).collect()}
     assert (0, 1) in got
     assert (0, 2) not in got and (0, 3) not in got
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    from prom_spark.operators.ann import lsh_topk
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 4
+    vecs = np.vstack([centers[i % 4] + rng.randn(16) * 0.3 for i in range(120)])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(4)], "probe_id long, embedding array<double>"
+    )
+    exact = brute_force_topk(corpus, probes, k=5).collect()
+    approx = lsh_topk(corpus, probes, k=5).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.probe_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.probe_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[p] & approx_sets.get(p, set())) / len(exact_sets[p])
+        for p in exact_sets
+    ]
+    # clustered neighbors sit at high cosine, where banded hyperplane
+    # collision probability is strong; 18 bands of 6 bits keeps the
+    # any-band miss rate low (see lsh_topk docstring)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
