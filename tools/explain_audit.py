@@ -132,6 +132,30 @@ def main() -> None:
         ],
     )
 
+    # q31 trigram language-ID: the K×n_langs profile table must
+    # broadcast onto the doc-trigram stream (corpus-scale side never
+    # shuffles by trigram), and nothing plans a cartesian product
+    check(
+        "q31_profile_broadcast",
+        Q.q31_trigram_langid(spark, sf_dir),
+        [
+            ("profile join broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
+    # q32 LSH ANN: probe signatures + probe embeddings broadcast; the
+    # corpus side streams through bucket join + slim candidate re-join
+    check(
+        "q32_probes_broadcast",
+        Q.q32_lsh_ann_topk(spark, sf_dir),
+        [
+            ("probe sides broadcast", lambda p: p.split("\n\n")[0].count("BroadcastHashJoin") >= 2),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("per-probe top-k window", lambda p: "Window" in p.split("\n\n")[0]),
+        ],
+    )
+
     lines = ["# Physical-plan audit", "",
              f"`python tools/explain_audit.py {sf_dir}` — planning only; "
              "properties asserted against `.explain('formatted')` output.", ""]
