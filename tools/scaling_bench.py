@@ -534,8 +534,26 @@ while the CPU ceiling (~{ceiling:.2f}) does.
 """
     else:
         ceiling_section = ""
+    # the revision history lives at whichever cell past rounds measured;
+    # when the headline cell is new (no prior-revision reps there), fall
+    # back to the LARGEST cell that has >= 2 revisions so the
+    # per-revision story survives a headline-cell move
+    turns_per_conv = int(os.environ.get("PROM_BENCH_KG_TURNS", "10"))
+    prog_convs = convs
     prog = rev_progress_from_rep_log(n, convs)
     cur_rev = _git_rev()
+    if len(prog) < 2 or not any(r["rev"] == cur_rev for r in prog):
+        path = os.path.join(REPO, "BENCH", "reps.jsonl")
+        sizes = set()
+        if os.path.exists(path):
+            sizes = {
+                json.loads(line)["kg_turns"] for line in open(path)
+            }
+        for t in sorted(sizes, reverse=True):
+            cand = rev_progress_from_rep_log(n, t // turns_per_conv)
+            if len(cand) >= 2 and any(r["rev"] == cur_rev for r in cand):
+                prog, prog_convs = cand, t // turns_per_conv
+                break
     cur_rows = [r for r in prog if r["rev"] == cur_rev]
     if len(prog) >= 2 and cur_rows:
         cur = cur_rows[0]
@@ -564,8 +582,8 @@ while the CPU ceiling (~{ceiling:.2f}) does.
         rev_section = f"""
 ## Throughput by code revision (same cell)
 
-Best-of-accumulated-reps at the headline cell ({lo['kg_turns']:,}
-turns), one row per code revision in chronological
+Best-of-accumulated-reps at the {prog_convs * turns_per_conv:,}-turn
+cell, one row per code revision in chronological
 order. The ratio alone can misrank engines: deleting fixed-overhead or
 poorly-scaling work (a stage whose own efficiency is below the
 pipeline's ratio) raises throughput at BOTH levels while LOWERING the
