@@ -96,7 +96,17 @@ def main() -> None:
     # ontology, sf-independent): timed and reported separately — their
     # wall time measures scheduler overhead on a fixed tiny input, not
     # engine throughput at the benchmark scale factor
-    fixture_queries = {"q26_lexical_align", "q27_structural_blend", "q30_abox_match"}
+    fixture_queries = {
+        "q26_lexical_align",
+        "q27_structural_blend",
+        "q30_abox_match",
+        # arithmetically-derived SF-independent fixtures over nation/region
+        # (tiny constant inputs chosen to trap greedy-vs-optimal, conflict
+        # detection, and P/R complements — see each query's docstring)
+        "q33_optimal_selection",
+        "q34_consistency_conflicts",
+        "q35_quality_assess",
+    }
     fixture_timings: dict[str, float] = {}
 
     if not kg_only:

@@ -1380,6 +1380,305 @@ FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
 """
 
 
+def q33_optimal_selection(spark, sf_dir):
+    """W2 exact maximum-weight 1:1 selection under the DuckDB hash gate
+    (reference analogue: the exhaustive selector at
+    src/alignment_selector.py:75-131; previously pytest-only vs a brute
+    force — this row closes the last selection operator without an
+    oracle entry).
+
+    The candidate graph is derived arithmetically from the
+    SF-independent nation x region tables: nations 0-7 edge to regions
+    {0,1} (even keys) or {2,3,4} (odd keys) — two disjoint blocks, so
+    the per-block decomposition is exercised — with
+    rating = ((nk*rk + nk*8 + rk*3) % 19)/10 - 0.4. The multiplicative
+    cross term makes weights non-additive, which is what lets the
+    fixture distinguish OPTIMAL from GREEDY on positive edges (additive
+    weights tie all complete matchings): the odd block's optimum swaps
+    two greedy pairings for +0.4, and the even block's optimum DROPS a
+    feasible negative edge greedy would take — both phenomena the
+    branch-and-bound must get right, including its
+    negative-rating-aware suffix bound."""
+    from prom_spark.operators.selection import optimal_one_to_one
+
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 8)
+    r = _t(spark, sf_dir, "region")
+    edges = (
+        n.crossJoin(r)
+        .filter(
+            ((F.col("n_nationkey") % 2 == 0) & F.col("r_regionkey").isin(0, 1))
+            | ((F.col("n_nationkey") % 2 == 1) & F.col("r_regionkey").isin(2, 3, 4))
+        )
+        .select(
+            "n_name",
+            "r_name",
+            (
+                (
+                    (
+                        F.col("n_nationkey") * F.col("r_regionkey")
+                        + F.col("n_nationkey") * 8
+                        + F.col("r_regionkey") * 3
+                    )
+                    % 19
+                ).cast("double")
+                / 10.0
+                - 0.4
+            ).alias("rating"),
+        )
+    )
+    with _few_shuffle_partitions(spark):
+        out = optimal_one_to_one(
+            edges, uid1_col="n_name", uid2_col="r_name"
+        ).localCheckpoint()
+    return out.select("n_name", "r_name", F.round("rating", 2).alias("rating"))
+
+
+# DuckDB twin: exhaustive enumeration of every 1:1 matching per block via
+# a recursive CTE (paths over rank-ordered edges; each step either skips
+# or — when both endpoints are free — takes the next edge), then the
+# per-block argmax with the branch-and-bound's exact tie-break: the DFS
+# explores take-before-skip in (rating desc, uid1, uid2) rank order and
+# replaces only on STRICTLY greater totals, so among equal-total optima
+# the first found has the lexicographically LARGEST take/skip indicator —
+# ORDER BY total DESC, ind DESC. Totals accumulate in the same rank
+# order on both engines, so equal sums are bit-identical doubles and no
+# rounding enters the comparison.
+_Q33_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT n.n_name, r.r_name,
+         ((n.n_nationkey * r.r_regionkey + n.n_nationkey * 8
+           + r.r_regionkey * 3) % 19) / 10.0 - 0.4 AS rating,
+         n.n_nationkey % 2 AS blk
+  FROM nation n, region r
+  WHERE n.n_nationkey < 8
+    AND ((n.n_nationkey % 2 = 0 AND r.r_regionkey IN (0, 1))
+      OR (n.n_nationkey % 2 = 1 AND r.r_regionkey IN (2, 3, 4)))
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY blk
+                            ORDER BY rating DESC, n_name, r_name) AS rk,
+         count(*) OVER (PARTITION BY blk) AS n_e
+  FROM edges
+),
+paths(blk, i, used1, used2, ind, total, n_e) AS (
+  SELECT blk, 0, []::VARCHAR[], []::VARCHAR[], '', 0.0::DOUBLE, n_e
+  FROM (SELECT DISTINCT blk, n_e FROM ranked)
+  UNION ALL
+  SELECT p.blk, p.i + 1,
+         CASE WHEN t.take = 1 THEN list_append(p.used1, s.n_name)
+              ELSE p.used1 END,
+         CASE WHEN t.take = 1 THEN list_append(p.used2, s.r_name)
+              ELSE p.used2 END,
+         p.ind || t.take::VARCHAR,
+         p.total + CASE WHEN t.take = 1 THEN s.rating ELSE 0.0 END,
+         p.n_e
+  FROM paths p
+  JOIN ranked s ON s.blk = p.blk AND s.rk = p.i + 1
+  CROSS JOIN (SELECT unnest([0, 1]) AS take) t
+  WHERE t.take = 0
+     OR (NOT list_contains(p.used1, s.n_name)
+         AND NOT list_contains(p.used2, s.r_name))
+),
+best AS (
+  SELECT blk, ind FROM (
+    SELECT blk, ind,
+           row_number() OVER (PARTITION BY blk
+                              ORDER BY total DESC, ind DESC) AS brk
+    FROM paths WHERE i = n_e
+  ) WHERE brk = 1
+)
+SELECT s.n_name, s.r_name, round(s.rating, 2) AS rating
+FROM best b
+JOIN ranked s ON s.blk = b.blk AND substr(b.ind, s.rk, 1) = '1'
+"""
+
+
+def q34_consistency_conflicts(spark, sf_dir):
+    """G2 consistency-conflict detection under the DuckDB hash gate
+    (reference analogue: the reasoner-flagged inconsistency loop at
+    src/prom.py:138-168 / src/onto_debugger.py:88-124; the detection
+    join was previously pytest-only — the fixpoint REPAIR loop stays
+    pytest-gated, as an iterative algorithm whose per-round CC defies a
+    single SQL expression).
+
+    The fixture derives from the SF-independent nation table: chain
+    equivalences over nationkeys {0-4}, {10-13} and {20,21} build three
+    clusters; five disjoint assertions cover every interesting case —
+    two INSIDE a cluster (the conflicts: both endpoints reach the same
+    min-node component), two ACROSS clusters (no conflict), and one
+    between nodes in no cluster at all (dropped by the inner component
+    join)."""
+    from prom_spark.operators.consistency import find_conflicts
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    equiv = (
+        n.filter(F.col("n_nationkey").isin(0, 1, 2, 3, 10, 11, 12, 20))
+        .join(
+            n.select(
+                F.col("n_nationkey").alias("k2"), F.col("n_name").alias("iri2")
+            ),
+            F.col("k2") == F.col("n_nationkey") + 1,
+        )
+        .select(
+            F.col("n_name").alias("iri1"),
+            "iri2",
+            (F.col("n_nationkey").cast("double") / 100.0 + 0.5).alias("rating"),
+        )
+    )
+    dpairs = [(1, 3), (11, 13), (2, 12), (4, 20), (22, 23)]
+    dp = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("k1"), F.lit(b).alias("k2"))
+                    for a, b in dpairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.k1", "p.k2")
+    disj = (
+        dp.join(
+            n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("iri1")),
+            "k1",
+        )
+        .join(
+            n.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("iri2")),
+            "k2",
+        )
+        .select(
+            "iri1",
+            "iri2",
+            (F.lit(0.9) - F.col("k1").cast("double") / 100.0).alias("rating"),
+        )
+    )
+    with _few_shuffle_partitions(spark):
+        out = find_conflicts(equiv, disj).localCheckpoint()
+    return out.select(
+        "iri1", "iri2", F.round("rating", 2).alias("rating"), "component"
+    )
+
+
+# DuckDB twin: the q22 recursive-CTE connected-components pattern
+# (component = min reachable node) over the same arithmetically-derived
+# equivalence chains, then the conflict join — a disjoint assertion is
+# returned iff both endpoints carry the same component.
+_Q34_SQL = """
+WITH RECURSIVE
+eq AS (
+  SELECT n1.n_name AS iri1, n2.n_name AS iri2
+  FROM nation n1 JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey + 1
+  WHERE n1.n_nationkey IN (0, 1, 2, 3, 10, 11, 12, 20)),
+disj AS (
+  SELECT a.n_name AS iri1, b.n_name AS iri2, 0.9 - d.k1 / 100.0 AS rating
+  FROM (VALUES (1, 3), (11, 13), (2, 12), (4, 20), (22, 23)) d(k1, k2)
+  JOIN nation a ON a.n_nationkey = d.k1
+  JOIN nation b ON b.n_nationkey = d.k2),
+e0 AS (SELECT iri1 AS u, iri2 AS v FROM eq WHERE iri1 != iri2),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+r(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, e.v FROM r JOIN edges e ON r.reach = e.u),
+cc AS (SELECT node, min(reach) AS component FROM r GROUP BY node)
+SELECT d.iri1, d.iri2, round(d.rating, 2) AS rating, c1.component
+FROM disj d
+JOIN cc c1 ON c1.node = d.iri1
+JOIN cc c2 ON c2.node = d.iri2
+WHERE c1.component = c2.component
+"""
+
+
+def q35_quality_assess(spark, sf_dir):
+    """A6 precision/recall/F quality assessment under the DuckDB hash
+    gate (reference analogue: src/quality_assessment.py:27-55;
+    previously pytest-only via the P=R=1.0 golden gate, which never
+    exercises the PARTIAL-overlap arithmetic).
+
+    Alignment and reference derive arithmetically from nation x region:
+    alignment maps nationkeys 0-9 to region (nk % 5); the reference maps
+    nationkeys 0-7 to region ((nk + [nk>=4]) % 5) — keys 0-3 agree, keys
+    4-7 disagree, keys 8-9 are alignment-only. So n=10/8/4,
+    P=0.4, R=0.5, F=0.4444, faulty=6, missed=4 — every count and both
+    complement operators (`faulty_matches`, `missed_matches`) carry
+    non-trivial values through the real `assess` code path."""
+    from prom_spark import fixtures
+    from prom_spark.pipeline.quality import (
+        assess,
+        faulty_matches,
+        missed_matches,
+    )
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    def pairs(max_key, shift):
+        keyed = n.filter(F.col("n_nationkey") < max_key)
+        rk = (F.col("n_nationkey") + shift) % 5
+        return keyed.join(r, F.col("r_regionkey") == rk).select(
+            F.col("n_name").alias("iri1"),
+            F.col("r_name").alias("iri2"),
+            F.lit("=").alias("relation"),
+        )
+
+    al = pairs(10, F.lit(0))
+    ref = pairs(8, (F.col("n_nationkey") >= 4).cast("int"))
+    q = assess(al, ref)
+    n_faulty = faulty_matches(al, ref).count()
+    n_missed = missed_matches(al, ref).count()
+    return fixtures._local_df(
+        spark,
+        [
+            (
+                q.n_alignment,
+                q.n_reference,
+                q.n_correct,
+                n_faulty,
+                n_missed,
+                round(q.precision, 6),
+                round(q.recall, 6),
+                round(q.fmeasure, 6),
+            )
+        ],
+        "n_alignment long, n_reference long, n_correct long, "
+        "n_faulty long, n_missed long, "
+        "precision double, recall double, fmeasure double",
+    )
+
+
+# DuckDB twin: same arithmetic fixture; intersection/complements with
+# set semantics (EXCEPT / inner join on the distinct 3-tuples) mirroring
+# the operator's distinct + inner/left-anti joins; the F expression is
+# written in the operator's evaluation shape 2*p*r/(p+r).
+_Q35_SQL = """
+WITH al AS (
+  SELECT DISTINCT n.n_name AS iri1, r.r_name AS iri2, '=' AS relation
+  FROM nation n JOIN region r ON r.r_regionkey = n.n_nationkey % 5
+  WHERE n.n_nationkey < 10),
+ref AS (
+  SELECT DISTINCT n.n_name AS iri1, r.r_name AS iri2, '=' AS relation
+  FROM nation n JOIN region r
+    ON r.r_regionkey = (n.n_nationkey
+                        + CASE WHEN n.n_nationkey >= 4 THEN 1 ELSE 0 END) % 5
+  WHERE n.n_nationkey < 8),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM al) AS n_a,
+    (SELECT count(*) FROM ref) AS n_r,
+    (SELECT count(*) FROM al JOIN ref USING (iri1, iri2, relation)) AS n_c,
+    (SELECT count(*) FROM (SELECT * FROM al EXCEPT SELECT * FROM ref)) AS n_f,
+    (SELECT count(*) FROM (SELECT * FROM ref EXCEPT SELECT * FROM al)) AS n_m)
+SELECT n_a AS n_alignment, n_r AS n_reference, n_c AS n_correct,
+       n_f AS n_faulty, n_m AS n_missed,
+       round(n_c / n_a, 6) AS precision,
+       round(n_c / n_r, 6) AS recall,
+       round(2 * (n_c / n_a) * (n_c / n_r)
+             / ((n_c / n_a) + (n_c / n_r)), 6) AS fmeasure
+FROM counts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -1414,6 +1713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_abox_match": q30_abox_match,
         "q31_trigram_langid": q31_trigram_langid,
         "q32_lsh_ann_topk": q32_lsh_ann_topk,
+        "q33_optimal_selection": q33_optimal_selection,
+        "q34_consistency_conflicts": q34_consistency_conflicts,
+        "q35_quality_assess": q35_quality_assess,
     }
 
 
@@ -1457,4 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "q30_abox_match": _q30_sql(),
         "q31_trigram_langid": _Q31_SQL,
         "q32_lsh_ann_topk": _q32_sql(),
+        "q33_optimal_selection": _Q33_SQL,
+        "q34_consistency_conflicts": _Q34_SQL,
+        "q35_quality_assess": _Q35_SQL,
     }
