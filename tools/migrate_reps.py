@@ -26,6 +26,7 @@ uncommitted changes.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import subprocess
@@ -33,6 +34,69 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FUSED_TREE_HASH = "code:5f8f3a6bb598"
+
+
+def rekey_bench_only(at_rev: str) -> None:
+    """Rekey reps whose key differs from the current closure hash ONLY
+    because bench.py changed since git rev ``at_rev`` (usage:
+    ``python tools/migrate_reps.py --rekey-bench-only HEAD~1``).
+
+    Guard is mechanical, not trust-based: the old key is RECOMPUTED from
+    the worktree closure modules plus ``git show at_rev:bench.py``. That
+    reproduction succeeds only if every prom_spark module on the measured
+    path is byte-identical between the two keys — i.e. the measured KG
+    job's library code is unchanged and the delta is confined to
+    bench.py. The caller still owes the judgment call that the bench.py
+    hunk does not touch the ``--kg-only`` execution path (e.g. the
+    query-suite fixture routing set, which the KG job never reads);
+    record that in the commit message.
+
+    First use: commit cd771d8 moved q33–q35 into bench.py's
+    ``fixture_queries`` routing set — a non-kg-only literal — which
+    re-keyed 64 accumulated reps (incl. the 7.2M-turn 0.815 headline
+    cell) of a byte-identical measured job."""
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from scaling_bench import _git_rev
+
+    closure = _git_rev()  # imports the measured job's closure itself
+    files = {os.path.join(REPO, "bench.py")}
+    files |= {
+        m.__file__
+        for n, m in sys.modules.items()
+        if n.startswith("prom_spark") and getattr(m, "__file__", None)
+    }
+    old_bench = subprocess.run(
+        ["git", "show", f"{at_rev}:bench.py"],
+        cwd=REPO, capture_output=True, check=True,
+    ).stdout
+    h = hashlib.sha256()
+    for f in sorted(files):
+        rel = os.path.relpath(f, REPO)
+        h.update(rel.encode())
+        if rel == "bench.py":
+            h.update(old_bench)
+        else:
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+    old_key = "kg:" + h.hexdigest()[:12]
+    if old_key == closure:
+        print(f"bench.py unchanged since {at_rev}; nothing to do")
+        return
+
+    path = os.path.join(REPO, "BENCH", "reps.jsonl")
+    lines = [json.loads(l) for l in open(path)]
+    hit = [r for r in lines if r.get("git_rev") == old_key]
+    if not hit:
+        sys.exit(f"no reps at reconstructed key {old_key}; refusing")
+    for r in hit:
+        r["git_rev"] = closure
+    with open(path, "w") as f:
+        for r in lines:
+            f.write(json.dumps(r) + "\n")
+    print(f"rekeyed {len(hit)} entries {old_key} -> {closure} "
+          f"(bench.py delta: {at_rev}..worktree; closure modules "
+          f"byte-identical by reconstruction)")
 
 
 def main() -> None:
@@ -95,4 +159,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--rekey-bench-only":
+        rekey_bench_only(sys.argv[2] if len(sys.argv) > 2 else "HEAD~1")
+    else:
+        main()
