@@ -326,7 +326,12 @@ def rev_progress_from_rep_log(n: int, convs: int) -> list[dict]:
             r = json.loads(line)
             if r.get("kg_turns") != turns:
                 continue
-            rev, c = r["git_rev"], r["cpus"]
+            # rows from before the closure-hash key exist (round-2 era);
+            # they carry no revision identity, so the per-revision table
+            # simply can't include them
+            rev, c = r.get("git_rev"), r.get("cpus")
+            if rev is None or c is None:
+                continue
             if rev not in cells:
                 cells[rev] = {}
                 order.append(rev)
