@@ -83,6 +83,43 @@ def test_resume_reuses_checkpoints_and_is_identical(spark, kg):
     assert t1 == t2 and len(t1) > 0
 
 
+def test_resume_after_midrun_kill(spark, kg, tmp_path):
+    """SURVEY §5 resumability: kill after stage k, resume, identical
+    output. Simulates two kill points against a COPY of the checkpoint
+    store: (a) killed between stages — the downstream stage dirs are
+    gone entirely; (b) killed mid-write — a stage left partial data but
+    no metrics.json (written only after the data write completes, so
+    its absence marks the stage incomplete). Both resumes run with
+    POISONED transcripts, proving recovery reads only the surviving
+    checkpoints, never the raw input."""
+    import shutil
+
+    tr, d, res, base = kg
+    poisoned = tr.withColumn("text", F.lit("POISON"))
+    t1 = {tuple(r) for r in res.triples.collect()}
+
+    # (a) killed between candidates and triple extraction
+    base_a = str(tmp_path / "kill_between")
+    shutil.copytree(base, base_a)
+    for stage in ("triples_raw", "triples"):
+        shutil.rmtree(os.path.join(base_a, stage))
+    res_a = build_kg(spark, poisoned, d, base_a, resume=True)
+    assert {tuple(r) for r in res_a.triples.collect()} == t1
+
+    # (b) killed mid-write: partial data present, metrics.json missing
+    base_b = str(tmp_path / "kill_mid_write")
+    shutil.copytree(base, base_b)
+    os.remove(os.path.join(base_b, "triples_raw", "metrics.json"))
+    data_dir = os.path.join(base_b, "triples_raw", "data")
+    victim = sorted(
+        f for f in os.listdir(data_dir) if not f.startswith("_")
+    )[0]
+    victim_path = os.path.join(data_dir, victim)
+    (shutil.rmtree if os.path.isdir(victim_path) else os.remove)(victim_path)
+    res_b = build_kg(spark, poisoned, d, base_b, resume=True)
+    assert {tuple(r) for r in res_b.triples.collect()} == t1
+
+
 def test_determinism_fresh_dir(spark, kg, tmp_path):
     tr, d, res, _ = kg
     res2 = build_kg(spark, tr, d, str(tmp_path / "kg2"), resume=False)
