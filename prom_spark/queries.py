@@ -1679,6 +1679,128 @@ FROM counts
 """
 
 
+def _doc_assets(spark, sf_dir):
+    """Deterministic multimodal asset table derived from documents.
+
+    The payload is the ASCII bytes of a repeated md5 hex digest: a true
+    ``BinaryType`` column through the Arrow boundary on the Spark side,
+    while staying recomputable in the DuckDB oracle (DuckDB's sha256
+    accepts VARCHAR only, so payload bytes must equal the UTF-8 of a
+    string both engines can build)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("modality"),
+        F.encode(
+            F.repeat(F.md5(F.concat(F.lit("asset:"), F.col("doc_id"))), 4),
+            "utf-8",
+        ).alias("content"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            (F.pmod("doc_id", F.lit(4)) * 64 + 64).cast("int").alias("width"),
+            (F.pmod("doc_id", F.lit(3)) * 64 + 64).cast("int").alias("height"),
+            (F.pmod("doc_id", F.lit(5)) * 1000 + 1000)
+            .cast("int")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q36_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction under the DuckDB hash gate: binary
+    payloads through the Arrow-batched ``mapInPandas`` extractor
+    (prom_spark/multimodal.py — the sanctioned deterministic stand-in
+    for a codec kernel; the Spark-side plumbing, schema, and batch shape
+    are the real contract). Features explode to flat rows so the value
+    hash covers every array element. No reference analogue — this gates
+    the training-data-pipeline extra (SURVEY §2 extras)."""
+    from prom_spark.multimodal import extract_features
+
+    feats = extract_features(_doc_assets(spark, sf_dir))
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.posexplode("features").alias("feature_idx", "feature"),
+    ).select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "feature_idx",
+        F.round("feature", 6).alias("feature"),
+    )
+
+
+# DuckDB twin: recompute the stub decoder in SQL — sha256 over the same
+# payload bytes (VARCHAR here, UTF-8-identical to the Spark blob), first
+# 8 digest bytes parsed from hex chars, /255.0, round 6.
+_Q36_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS modality,
+         repeat(md5('asset:' || doc_id), 4) AS payload
+  FROM documents),
+digests AS (
+  SELECT asset_id, modality,
+         CAST(length(payload) AS INTEGER) AS n_bytes,
+         sha256(payload) AS h
+  FROM assets),
+idx AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS i)
+SELECT d.asset_id, d.modality, d.n_bytes, idx.i AS feature_idx,
+       round(((strpos('0123456789abcdef', substr(d.h, 2 * idx.i + 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(d.h, 2 * idx.i + 2, 1)) - 1)
+             / 255.0, 6) AS feature
+FROM digests d CROSS JOIN idx
+"""
+
+
+def q37_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing under the DuckDB hash gate: the 1:N
+    row fan-out through ``mapInPandas`` (one fake frame per second of
+    metadata duration, payload chunked deterministically — a real
+    demuxer replaces the chunking without touching the plan). Frames are
+    hex-projected so the binary payload participates in the value hash."""
+    from prom_spark.multimodal import sample_frames
+
+    frames = sample_frames(_doc_assets(spark, sf_dir), every_ms=1000)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+        F.length("frame").cast("int").alias("frame_bytes"),
+    )
+
+
+# DuckDB twin: same chunk arithmetic in SQL — n = max(1, duration//1000),
+# step = max(1, len//n), frame i = payload[i*step : (i+1)*step]; the
+# payload is ASCII so VARCHAR substr positions equal byte offsets.
+_Q37_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         repeat(md5('asset:' || doc_id), 4) AS payload,
+         CAST(doc_id % 5 AS INTEGER) * 1000 + 1000 AS duration_ms
+  FROM documents
+  WHERE doc_id % 3 = 0),
+calc AS (
+  SELECT asset_id, payload,
+         greatest(1, length(payload)
+                     // greatest(1, duration_ms // 1000)) AS step,
+         greatest(1, duration_ms // 1000) AS n
+  FROM assets),
+frames AS (
+  SELECT asset_id, payload, step,
+         CAST(unnest(range(0, n)) AS INTEGER) AS frame_idx
+  FROM calc)
+SELECT asset_id, frame_idx,
+       lower(hex(substr(payload, CAST(frame_idx * step + 1 AS INTEGER),
+                        CAST(step AS INTEGER)))) AS frame_hex,
+       CAST(step AS INTEGER) AS frame_bytes
+FROM frames
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -1716,6 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_optimal_selection": q33_optimal_selection,
         "q34_consistency_conflicts": q34_consistency_conflicts,
         "q35_quality_assess": q35_quality_assess,
+        "q36_multimodal_features": q36_multimodal_features,
+        "q37_frame_sample": q37_frame_sample,
     }
 
 
@@ -1762,4 +1886,6 @@ def oracle_sql() -> dict[str, str]:
         "q33_optimal_selection": _Q33_SQL,
         "q34_consistency_conflicts": _Q34_SQL,
         "q35_quality_assess": _Q35_SQL,
+        "q36_multimodal_features": _Q36_SQL,
+        "q37_frame_sample": _Q37_SQL,
     }
