@@ -40,6 +40,33 @@ def test_multimodal_resize_and_frames(spark):
         assert sorted(idxs) == list(range(aid % 5 + 1))
 
 
+def test_q36_q37_fixture_discriminates(spark):
+    """Parity proves Spark == DuckDB; this pins what the q36/q37 asset
+    fixture was built to distinguish: features genuinely depend on the
+    payload bytes (not fixture constants both twins could emit), and
+    the frame chunks are real slices that reassemble to a payload
+    prefix in frame order."""
+    from prom_spark.queries import _doc_assets, q37_frame_sample
+
+    sf_dir = "/root/testdata/sf0.001"
+    feats = extract_features(_doc_assets(spark, sf_dir)).collect()
+    distinct_vectors = {tuple(r.features) for r in feats}
+    assert len(distinct_vectors) == len(feats)  # payload-dependent
+
+    payloads = {
+        r.asset_id: bytes(r.content)
+        for r in _doc_assets(spark, sf_dir).filter("modality = 'video'").collect()
+    }
+    frames = q37_frame_sample(spark, sf_dir).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append((r.frame_idx, r.frame_hex))
+    assert set(by_asset) == set(payloads)
+    for aid, chunks in by_asset.items():
+        joined = bytes.fromhex("".join(h for _, h in sorted(chunks)))
+        assert payloads[aid].startswith(joined) and len(joined) > 0
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     """availableNow streaming run must produce the same CANONICAL
     within-turn triples as the batch pipeline on the same input (the
