@@ -93,6 +93,34 @@ def test_rev_progress_orders_and_filters(sb):
     assert rows[0]["eff"] == pytest.approx(300.0 / 100.0 / 4.0)
 
 
+def test_accumulate_calibration_best_of_windows(sb, tmp_path):
+    path = str(tmp_path / "BENCH" / "calibration.jsonl")
+    # seed two prior windows: one clean, one degraded, plus a foreign n
+    with open(path, "w") as f:
+        f.write(json.dumps({"ts": "t0", "n": 4, "cpu": 0.95,
+                            "bandwidth": 0.7, "random_access": 0.88}) + "\n")
+        f.write(json.dumps({"ts": "t1", "n": 4, "cpu": 0.70,
+                            "bandwidth": 0.1, "random_access": 0.27}) + "\n")
+        f.write(json.dumps({"ts": "t2", "n": 2, "cpu": 0.99,
+                            "bandwidth": 0.99, "random_access": 0.99}) + "\n")
+    best = sb.accumulate_calibration(
+        4, {"cpu": 0.80, "bandwidth": 0.835, "random_access": 0.30}, path=path
+    )
+    # per-metric max over same-n windows incl. the new sample; n=2 ignored
+    assert best == {"cpu": 0.95, "bandwidth": 0.835, "random_access": 0.88}
+    # the new sample was appended
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) == 4 and rows[-1]["cpu"] == 0.80
+
+
+def test_accumulate_calibration_clamps_burst_noise(sb, tmp_path):
+    path = str(tmp_path / "BENCH" / "calibration.jsonl")
+    best = sb.accumulate_calibration(
+        4, {"cpu": 1.004, "bandwidth": 0.5, "random_access": 0.4}, path=path
+    )
+    assert best["cpu"] == 1.0  # ratios above 1 are burst noise, clamped
+
+
 def test_best_from_rep_log_never_mixes_revisions(sb):
     _write(
         sb,

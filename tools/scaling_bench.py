@@ -157,6 +157,46 @@ def bandwidth_calibration(n: int) -> float:
     return _calibrate(_stream, lambda p: list(range(p)), n)
 
 
+CALIB_PATH = os.path.join(REPO, "BENCH", "calibration.jsonl")
+
+
+def accumulate_calibration(
+    n: int, sample: dict[str, float], path: str = CALIB_PATH
+) -> dict[str, float]:
+    """Append this window's host-calibration sample to
+    ``BENCH/calibration.jsonl`` and return the BEST value per metric
+    across all recorded windows at the same N.
+
+    A calibration is a CAPACITY estimate — how far any workload of that
+    class can scale on this host — so, exactly like the throughput reps,
+    the noise-robust estimator is the max over measurement windows:
+    hypervisor steal can only depress a sample (a degraded window once
+    measured the sequential-bandwidth ratio at 0.098 against 0.705 in a
+    clean one), never inflate the true ceiling past ~1.0. Returned
+    values are clamped to 1.0 (a ratio above 1 is burst noise hitting
+    the N-proc side of the comparison). With this pool, regenerating
+    the report in a degraded window no longer rewrites the ceilings —
+    and the blend derived from them — with transient garbage.
+    """
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    row = {
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "n": n,
+    }
+    row.update({k: round(v, 3) for k, v in sample.items()})
+    with open(path, "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+    best = dict(sample)
+    for line in open(path):
+        r = json.loads(line)
+        if r.get("n") != n:
+            continue
+        for k in sample:
+            if k in r:
+                best[k] = max(best[k], r[k])
+    return {k: round(min(v, 1.0), 3) for k, v in best.items()}
+
+
 def _one_bench_run(cpus: int, convs: int) -> dict:
     env = dict(
         os.environ,
@@ -377,9 +417,15 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     convs = int(sys.argv[2]) if len(sys.argv) > 2 else 120000
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    ceiling = cpu_calibration(n)
-    bw_ceiling = bandwidth_calibration(n)
-    ra_ceiling = random_access_calibration(n)
+    cpu_now = cpu_calibration(n)
+    bw_now = bandwidth_calibration(n)
+    ra_now = random_access_calibration(n)
+    best_ceil = accumulate_calibration(
+        n, {"cpu": cpu_now, "bandwidth": bw_now, "random_access": ra_now}
+    )
+    ceiling = best_ceil["cpu"]
+    bw_ceiling = best_ceil["bandwidth"]
+    ra_ceiling = best_ceil["random_access"]
     if reps > 0:
         run_bench_interleaved(n, convs, reps)
     lo, hi = best_from_rep_log(n, convs)
@@ -415,6 +461,11 @@ def main() -> None:
         "host_pure_cpu_ceiling": round(ceiling, 3),
         "host_bandwidth_ceiling": round(bw_ceiling, 3),
         "host_random_access_ceiling": round(ra_ceiling, 3),
+        "host_ceiling_this_window": {
+            "cpu": round(cpu_now, 3),
+            "bandwidth": round(bw_now, 3),
+            "random_access": round(ra_now, 3),
+        },
         "stage_efficiency": stage_eff,
         "reps": reps,
     }
@@ -524,7 +575,7 @@ measured host ceiling (class assigned by what the stage does — see
 measurement lands) and blend by the stage's share of the {n}c wall:
 `eff_max = (Σ sᵢ) / (Σ sᵢ/cᵢ)`.
 
-| stage | ceiling class | ceiling at measurement time |
+| stage | ceiling class | ceiling (best measured window) |
 |---|---|---|
 {blend_table}
 
@@ -679,13 +730,18 @@ linking, the cross-turn follows window and the bucketed write share one
 exchange, so the former corpus-sized linked checkpoint (write + re-read
 + second exchange) is gone entirely.
 
-Host calibration at measurement time, {n}→{4*n} processes (all three
-are plain multiprocessing, no Spark, no JVM):
+Host calibration, {n}→{4*n} processes (all three are plain
+multiprocessing, no Spark, no JVM). Each ceiling is the best across
+accumulated measurement windows (BENCH/calibration.jsonl — a capacity
+estimate, max-estimated exactly like the throughput reps; clamped to
+1.0), with this invocation's window in parentheses:
 
-- pure-CPU spin: **{report['host_pure_cpu_ceiling']}** efficiency;
-- sequential DRAM bandwidth (0.5 GB numpy sums): **{report['host_bandwidth_ceiling']}**;
+- pure-CPU spin: **{report['host_pure_cpu_ceiling']}** efficiency
+  (this window: {round(cpu_now, 3)});
+- sequential DRAM bandwidth (0.5 GB numpy sums):
+  **{report['host_bandwidth_ceiling']}** (this window: {round(bw_now, 3)});
 - random-access memory (numpy permutation gather):
-  **{report['host_random_access_ceiling']}**.
+  **{report['host_random_access_ceiling']}** (this window: {round(ra_now, 3)}).
 
 Pure CPU scales near-linearly on this box; memory-subsystem workloads
 do not — sequential bandwidth and concurrent random access both run
