@@ -133,3 +133,21 @@ def test_best_from_rep_log_never_mixes_revisions(sb):
     lo, hi = sb.best_from_rep_log(4, 100)
     assert lo["kg_triples_per_sec"] == 100.0  # not the other revision's 999
     assert hi["kg_triples_per_sec"] == 320.0
+    # evidence depth: rep counts exclude the foreign revision
+    assert lo["n_reps"] == 1 and hi["n_reps"] == 1
+
+
+def test_scale_sweep_counts_reps_per_cell(sb):
+    _write(
+        sb,
+        [
+            _rep("kg:test", 4, 1000, 100.0),
+            _rep("kg:test", 4, 1000, 110.0),
+            _rep("kg:test", 16, 1000, 320.0),
+            _rep("kg:other", 4, 1000, 999.0),  # foreign revision: excluded
+        ],
+    )
+    rows = sb.scale_sweep_from_rep_log(4)
+    assert len(rows) == 1
+    assert rows[0]["n_reps"] == "2+1"
+    assert rows[0]["lo_thr"] == 110.0

@@ -237,6 +237,7 @@ def best_from_rep_log(n: int, convs: int) -> tuple[dict | None, dict | None]:
     path = os.path.join(REPO, "BENCH", "reps.jsonl")
     rev = _git_rev()
     best = {n: None, 4 * n: None}
+    n_reps = {n: 0, 4 * n: 0}
     if os.path.exists(path):
         for line in open(path):
             r = json.loads(line)
@@ -245,11 +246,16 @@ def best_from_rep_log(n: int, convs: int) -> tuple[dict | None, dict | None]:
                 os.environ.get("PROM_BENCH_KG_TURNS", "10")
             ):
                 continue
-            if c in best and (
-                best[c] is None
-                or r["kg_triples_per_sec"] > best[c]["kg_triples_per_sec"]
-            ):
-                best[c] = r
+            if c in best:
+                n_reps[c] += 1
+                if (
+                    best[c] is None
+                    or r["kg_triples_per_sec"] > best[c]["kg_triples_per_sec"]
+                ):
+                    best[c] = r
+    for c, b in best.items():
+        if b is not None:
+            b["n_reps"] = n_reps[c]
     return best[n], best[4 * n]
 
 
@@ -267,6 +273,7 @@ def scale_sweep_from_rep_log(n: int) -> list[dict]:
     path = os.path.join(REPO, "BENCH", "reps.jsonl")
     rev = _git_rev()
     by_size: dict[int, dict[int, dict]] = {}
+    by_count: dict[int, dict[int, int]] = {}
     if os.path.exists(path):
         for line in open(path):
             r = json.loads(line)
@@ -274,6 +281,8 @@ def scale_sweep_from_rep_log(n: int) -> list[dict]:
             if r.pop("git_rev", None) != rev or c not in (n, 4 * n):
                 continue
             lvl = by_size.setdefault(r["kg_turns"], {})
+            counts = by_count.setdefault(r["kg_turns"], {n: 0, 4 * n: 0})
+            counts[c] += 1
             if (
                 c not in lvl
                 or r["kg_triples_per_sec"] > lvl[c]["kg_triples_per_sec"]
@@ -291,6 +300,7 @@ def scale_sweep_from_rep_log(n: int) -> list[dict]:
                     "hi_sec": hi["kg_sec"],
                     "lo_thr": lo["kg_triples_per_sec"],
                     "hi_thr": hi["kg_triples_per_sec"],
+                    "n_reps": f"{by_count[turns][n]}+{by_count[turns][4 * n]}",
                     "eff": round(
                         (hi["kg_triples_per_sec"] / lo["kg_triples_per_sec"]) / 4.0, 3
                     ),
@@ -508,7 +518,7 @@ def main() -> None:
     if len(sweep) >= 2:
         sweep_rows = "\n".join(
             f"| {r['turns']:,} | {r['lo_sec']} | {r['hi_sec']} | "
-            f"{r['lo_thr']} | {r['hi_thr']} | {r['eff']} |"
+            f"{r['lo_thr']} | {r['hi_thr']} | {r['n_reps']} | {r['eff']} |"
             for r in sweep
         )
         trend = (
@@ -536,8 +546,8 @@ def main() -> None:
 Identical job, same two pinned levels, best-of-accumulated-reps per
 (input size, level) — all rows from the current code hash:
 
-| input turns | sec @{n}c | sec @{4 * n}c | triples/s @{n}c | triples/s @{4 * n}c | efficiency |
-|---|---|---|---|---|---|
+| input turns | sec @{n}c | sec @{4 * n}c | triples/s @{n}c | triples/s @{4 * n}c | reps ({n}c+{4 * n}c) | efficiency |
+|---|---|---|---|---|---|---|
 {sweep_rows}
 
 Fixed per-stage overhead (driver planning, checkpoint write/read
@@ -698,10 +708,10 @@ trade, not about scaling.)
 
 ## Results
 
-| parallelism (pinned) | wall sec | triples/sec | turns/sec |
-|---|---|---|---|
-| local[{n}]  | {lo['kg_sec']} | {thr_lo} | {lo['kg_turns_per_sec']} |
-| local[{4*n}] | {hi['kg_sec']} | {thr_hi} | {hi['kg_turns_per_sec']} |
+| parallelism (pinned) | wall sec | triples/sec | turns/sec | best of reps |
+|---|---|---|---|---|
+| local[{n}]  | {lo['kg_sec']} | {thr_lo} | {lo['kg_turns_per_sec']} | {lo.get('n_reps', '?')} |
+| local[{4*n}] | {hi['kg_sec']} | {thr_hi} | {hi['kg_turns_per_sec']} | {hi.get('n_reps', '?')} |
 
 **speedup {n}→{4*n} cores: {report['speedup']}x — scaling efficiency
 {report['scaling_efficiency']}** (target >= 0.8).
