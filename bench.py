@@ -33,7 +33,12 @@ KG_TURNS_PER_CONV = int(os.environ.get("PROM_BENCH_KG_TURNS", "10"))
 # vary up to 3x); the headline KG number is best-of-KG_REPS in-process,
 # with every raw rep reported. tools/scaling_bench.py does its own
 # external interleaved best-of-reps and sets this to 1.
-KG_REPS = int(os.environ.get("PROM_BENCH_KG_REPS", "2"))
+# 4 reps: measured rep sequences (BENCH/reps.jsonl sidecars) show the
+# first 2-3 in-process reps pay JVM JIT tiering + codegen-class compile
+# for the pipeline's specific plans (28.3 / 23.5 / 13.0 / 11.7s at
+# 120k turns) — steady-state throughput, the number that projects to a
+# long-running cluster job, appears from rep 3-4.
+KG_REPS = int(os.environ.get("PROM_BENCH_KG_REPS", "4"))
 
 
 def _divert_stderr() -> None:
