@@ -1801,6 +1801,112 @@ FROM frames
 """
 
 
+def q38_asof_join(spark, sf_dir):
+    """Distributed as-of join (operators/temporal.asof_join): every
+    click event matched to the user's most recent PRIOR error event —
+    the canonical event-alignment primitive (feature lookups, session
+    attribution, sensor alignment). One shuffle: union + per-key
+    carry-forward window, no range join, no point lookups. Unmatched
+    clicks survive with nulls (left-outer semantics). Oracle: DuckDB's
+    native ``ASOF LEFT JOIN`` — an independent engine implementation of
+    the same semantics, not a re-expression of this plan."""
+    from prom_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errs = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    out = asof_join(clicks, errs, on="user_id", left_ts="ts", right_ts="err_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "err_id",
+        F.round("err_value", 2).alias("err_value"),
+        F.round(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("err_ts").cast("timestamp"))
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("age_sec"),
+    )
+
+
+_Q38_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errs AS (
+  SELECT user_id, event_id AS err_id, ts AS err_ts, value AS err_value
+  FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, e.err_id,
+       round(e.err_value, 2) AS err_value,
+       round((epoch_us(c.ts) - epoch_us(e.err_ts)) / 1e6, 6) AS age_sec
+FROM clicks c
+ASOF LEFT JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+"""
+
+
+def q39_range_join(spark, sf_dir):
+    """Bucketed range join (operators/temporal.range_join): events
+    joined to the arithmetic maintenance windows containing them —
+    40 half-open windows at 9h spacing with lengths 3-15h, so some
+    windows OVERLAP (an event can land in two) and later windows reach
+    past the event horizon (empty). The operator explodes each window
+    to its 6h time buckets and equi-joins on bucket + exact containment
+    — no inequality join, no cross product, each match produced exactly
+    once. Oracle: the plain inequality join DuckDB can afford at this
+    scale."""
+    from prom_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    w = spark.range(40).select(
+        F.col("id").cast("int").alias("window_id"),
+        # NTZ literals: the events parquet scans as TIMESTAMP_NTZ and
+        # the containment comparison must stay same-typed
+        F.expr(
+            "timestamp_ntz '2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, cast(id * 9 as int), 0, 0)"
+        ).alias("w_start"),
+        F.expr(
+            "timestamp_ntz '2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, "
+            "  cast(id * 9 + (id % 5 + 1) * 3 as int), 0, 0)"
+        ).alias("w_end"),
+    )
+    out = range_join(
+        e, w, point_ts="ts", start_col="w_start", end_col="w_end",
+        bucket_width_sec=6 * 3600,
+    )
+    return out.select(
+        "window_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+_Q39_SQL = """
+WITH w AS (
+  SELECT CAST(i AS INTEGER) AS window_id,
+         TIMESTAMP '2024-01-01' + CAST(i AS INTEGER) * INTERVAL 9 HOUR
+           AS w_start,
+         TIMESTAMP '2024-01-01'
+           + CAST(i * 9 + (i % 5 + 1) * 3 AS INTEGER) * INTERVAL 1 HOUR
+           AS w_end
+  FROM unnest(range(0, 40)) t(i))
+SELECT w.window_id, e.event_id, e.event_type, epoch_us(e.ts) AS ts_us
+FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -1840,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_quality_assess": q35_quality_assess,
         "q36_multimodal_features": q36_multimodal_features,
         "q37_frame_sample": q37_frame_sample,
+        "q38_asof_join": q38_asof_join,
+        "q39_range_join": q39_range_join,
     }
 
 
@@ -1888,4 +1996,6 @@ def oracle_sql() -> dict[str, str]:
         "q35_quality_assess": _Q35_SQL,
         "q36_multimodal_features": _Q36_SQL,
         "q37_frame_sample": _Q37_SQL,
+        "q38_asof_join": _Q38_SQL,
+        "q39_range_join": _Q39_SQL,
     }
