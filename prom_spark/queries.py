@@ -1907,6 +1907,54 @@ FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
 """
 
 
+def q40_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup
+    (operators/rollup.time_rollup): events aggregated per event_type at
+    1 min / 1 h / 1 d. Only the finest level touches raw rows; coarser
+    levels re-aggregate the finer aggregate (sum of sums, count of
+    counts) and the finest shuffle is planned once (ReusedExchange —
+    pinned in tests/test_rollup.py), so the raw table is scanned
+    exactly once for the whole ladder. Decimal sums keep the
+    aggregation associative, so partial-agg order cannot drift from the
+    oracle's sequential sums. Oracle: three independent GROUP BYs over
+    the raw table (it never re-aggregates — recomputation is the
+    independent check)."""
+    from prom_spark.operators.rollup import time_rollup
+
+    e = _t(spark, sf_dir, "events")
+    out = time_rollup(
+        e, ts_col="ts", dims=["event_type"], value_col="value",
+        resolutions_sec=[60, 3600, 86400],
+    )
+    return out.select(
+        "resolution_sec",
+        "bucket_start",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+_Q40_SQL = """
+WITH lv AS (SELECT unnest([60, 3600, 86400]) AS res)
+SELECT CAST(lv.res AS INTEGER) AS resolution_sec,
+       -- epoch() is DOUBLE and DuckDB's // does NOT floor doubles;
+       -- epoch_us is BIGINT so // is true integer division
+       CAST(epoch_us(e.ts) // 1000000 // lv.res * lv.res AS BIGINT)
+         AS bucket_start,
+       e.event_type,
+       count(*) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(27, 6))) AS DECIMAL(38, 6))
+         AS sum_value,
+       round(min(e.value), 2) AS min_value,
+       round(max(e.value), 2) AS max_value
+FROM events e CROSS JOIN lv
+GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -1948,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_frame_sample": q37_frame_sample,
         "q38_asof_join": q38_asof_join,
         "q39_range_join": q39_range_join,
+        "q40_time_rollup": q40_time_rollup,
     }
 
 
@@ -1998,4 +2047,5 @@ def oracle_sql() -> dict[str, str]:
         "q37_frame_sample": _Q37_SQL,
         "q38_asof_join": _Q38_SQL,
         "q39_range_join": _Q39_SQL,
+        "q40_time_rollup": _Q40_SQL,
     }
