@@ -1955,6 +1955,74 @@ GROUP BY 1, 2, 3
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 128
+
+
+def q41_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketch): frequencies
+    of (event_type, user_id) pairs estimated from a 4×128-cell sketch —
+    a fixed-size summary whose build is one map-side-combinable
+    aggregation and whose estimates are a broadcast join — with the
+    exact counts alongside, top-20 by estimate. The md5-derived hash
+    family makes every counter bit-reproducible in the oracle (same
+    nibble arithmetic as the SimHash twin), so the hash gate covers the
+    sketch itself, not just the ranking."""
+    from prom_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat("event_type", F.lit(":"), F.col("user_id").cast("string")).alias(
+            "k"
+        )
+    )
+    sketch = count_min_sketch(e, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = cms_estimate(sketch, e, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = e.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.desc("est"), F.asc("k"))
+    return (
+        est.join(exact, on="k")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "k", "est", "n_exact")
+    )
+
+
+# DuckDB twin: the identical md5 hash family via nibble arithmetic
+# (strpos over the hex alphabet — the q15/q36 pattern), sketch and
+# estimates recomputed from raw events.
+_Q41_SQL = f"""
+WITH keys AS (
+  SELECT event_type || ':' || user_id AS k FROM events),
+cells AS (
+  SELECT g.i AS row,
+         ((strpos('0123456789abcdef', substr(md5(g.i || ':' || k), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(g.i || ':' || k), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(g.i || ':' || k), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(g.i || ':' || k), 4, 1)) - 1))
+           % {_CMS_WIDTH} AS bucket
+  FROM keys CROSS JOIN range(0, {_CMS_DEPTH}) g(i)),
+sketch AS (
+  SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+probes AS (SELECT DISTINCT k FROM keys),
+lookups AS (
+  SELECT k, g.i AS row,
+         ((strpos('0123456789abcdef', substr(md5(g.i || ':' || k), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(g.i || ':' || k), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(g.i || ':' || k), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(g.i || ':' || k), 4, 1)) - 1))
+           % {_CMS_WIDTH} AS bucket
+  FROM probes CROSS JOIN range(0, {_CMS_DEPTH}) g(i)),
+est AS (
+  SELECT k, min(coalesce(s.cnt, 0)) AS est
+  FROM lookups l LEFT JOIN sketch s USING (row, bucket) GROUP BY k),
+exact AS (SELECT k, count(*) AS n_exact FROM keys GROUP BY k)
+SELECT rk, k, est, n_exact FROM (
+  SELECT e.k, e.est, x.n_exact,
+         row_number() OVER (ORDER BY e.est DESC, e.k ASC) AS rk
+  FROM est e JOIN exact x USING (k))
+WHERE rk <= 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -1997,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_asof_join": q38_asof_join,
         "q39_range_join": q39_range_join,
         "q40_time_rollup": q40_time_rollup,
+        "q41_cms_heavy_hitters": q41_cms_heavy_hitters,
     }
 
 
@@ -2048,4 +2117,5 @@ def oracle_sql() -> dict[str, str]:
         "q38_asof_join": _Q38_SQL,
         "q39_range_join": _Q39_SQL,
         "q40_time_rollup": _Q40_SQL,
+        "q41_cms_heavy_hitters": _Q41_SQL,
     }
