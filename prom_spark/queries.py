@@ -2023,6 +2023,304 @@ WHERE rk <= 20
 """
 
 
+def _md5_int_sql(preimage_sql: str, nibbles: int) -> str:
+    """DuckDB expression for the integer value of the first ``nibbles``
+    hex chars of md5(preimage) — the portable twin of
+    ``conv(substring(md5(x), 1, n), 16, 10)`` (the q41 nibble pattern,
+    generated instead of hand-written)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({preimage_sql}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (nibbles - 1 - j)}"
+        for j in range(nibbles)
+    ]
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+_STRAT_CAP = 100
+
+
+def q42_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsample (operators/sampling): the
+    documents table rebalanced to ~100 docs per language by a portable
+    content hash — the training-data-mix primitive. One tiny
+    per-stratum count agg broadcast back onto the stream and a codegen
+    filter; the corpus itself is never shuffled, and the kept row set
+    is a pure function of the data (resume/repartition/rerun-stable),
+    which the oracle twin checks row-for-row."""
+    from prom_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, strata_cols=["lang"], id_col="doc_id", cap=_STRAT_CAP
+    ).select("doc_id", "lang", "source")
+
+
+_Q42_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN counts c USING (lang)
+WHERE c.n <= {_STRAT_CAP}
+   OR {_md5_int_sql("'s42:' || d.doc_id", 8)} * c.n
+      < {_STRAT_CAP} * 4294967296
+"""
+
+
+_PR_DAMPING, _PR_ITERS = 0.85, 5
+
+
+def q43_event_pagerank(spark, sf_dir):
+    """Weighted PageRank (operators/graph.pagerank) over the
+    event-type transition graph: edges are consecutive (prev_type ->
+    type) pairs per user (one lag window over the event stream — the
+    corpus-sized work), ranks from 5 damped power iterations over the
+    aggregated edge table (join->agg loop with lineage checkpoints).
+    Intermediate ranks are pinned at round(,12) in BOTH engines, so the
+    oracle's chained-CTE twin reproduces the iteration exactly, not
+    approximately."""
+    from prom_spark.operators.graph import pagerank
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("dst"),
+            F.lag("event_type").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .select("src", "dst")
+    )
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING
+    )
+    n_out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    return (
+        ranks.join(n_out, on="node", how="left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.round("rank", 6).alias("rank"),
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+        )
+    )
+
+
+def _q43_sql() -> str:
+    head = f"""
+WITH seq AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src
+  FROM events),
+e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+trans AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p FROM e JOIN outw o USING (src)),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f""",
+r{i} AS (
+  SELECT n.node,
+         round((1.0 - {_PR_DAMPING}) / nn.n
+               + {_PR_DAMPING} * coalesce(s.c, 0.0), 12) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT t.dst AS node, sum(r.rank * t.p) AS c
+    FROM trans t JOIN r{i - 1} r ON r.node = t.src GROUP BY 1
+  ) s USING (node))""")
+    tail = f"""
+SELECT r.node AS event_type, round(r.rank, 6) AS rank,
+       coalesce(x.n_out, 0) AS n_out
+FROM r{_PR_ITERS} r
+LEFT JOIN (SELECT src AS node, count(*) AS n_out
+           FROM seq WHERE src IS NOT NULL GROUP BY 1) x USING (node)"""
+    return head + "".join(its) + tail
+
+
+def q44_basket_triangles(spark, sf_dir):
+    """Degree-oriented triangle counting (operators/graph
+    .triangle_counts) over the market-basket graph: parts are linked
+    when they ship in the same order. The operator orients each edge
+    from its (degree, id)-smaller endpoint, so wedge generation is
+    bounded by sqrt-degree and hub nodes cannot blow up the join — the
+    shape that survives power-law graphs. Oracle: an INDEPENDENT
+    formulation (ordered 3-way edge self-join x<y<z), not a
+    re-expression of the oriented plan."""
+    from prom_spark.operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, on=(F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+    )
+    return triangle_counts(pairs).select(
+        F.col("node").alias("partkey"), "degree", "triangles", "clustering"
+    )
+
+
+_Q44_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pn AS (
+  SELECT node, count(*) AS triangles
+  FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        UNION ALL SELECT z FROM t) GROUP BY 1)
+SELECT d.node AS partkey, d.degree,
+       coalesce(pn.triangles, 0) AS triangles,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE round((2.0 * coalesce(pn.triangles, 0))
+                       / (d.degree * (d.degree - 1.0)), 6)
+       END AS clustering
+FROM deg d LEFT JOIN pn USING (node)
+"""
+
+
+_KMV_K = 64
+
+
+def q45_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketch.kmv_distinct):
+    distinct users per event_type estimated from the 64 smallest
+    portable 48-bit hashes — the mergeable cardinality estimator whose
+    per-group top-k is salted two-stage (no single-task group sorts).
+    Exact distinct counts alongside; the hash gate covers the sketch
+    itself (kth hash, estimate) because the oracle recomputes the
+    identical hash family."""
+    from prom_spark.operators.sketch import kmv_distinct
+
+    e = _t(spark, sf_dir, "events")
+    sk = kmv_distinct(e, key_col="user_id", group_cols=["event_type"], k=_KMV_K)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, on="event_type").select(
+        "event_type", "kth_hash", "n_k", "est_distinct", "n_exact"
+    )
+
+
+_Q45_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         {_md5_int_sql("'kmv:' || user_id", 12)} AS h
+  FROM events),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes),
+sk AS (
+  SELECT event_type, max(h) AS kth_hash,
+         CAST(count(*) AS INTEGER) AS n_k,
+         round(CASE WHEN count(*) < {_KMV_K}
+                    THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} * 281474976710656 AS DOUBLE)
+                         / max(h) END, 6) AS est_distinct
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY 1)
+SELECT s.event_type, s.kth_hash, s.n_k, s.est_distinct, x.n_exact
+FROM sk s
+JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1) x USING (event_type)
+"""
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def q46_bloom_filter_join(spark, sf_dir):
+    """Bloom-filter semi-join reduction (operators/sketch.bloom_*):
+    orders pre-filtered by a 4096-bit Bloom filter built over ASIA
+    customers — the runtime-filter pattern that prunes a fact stream
+    map-side before an expensive join. The output keeps the filter's
+    false positives VISIBLE (is_member = false rows): both engines
+    build bit-identical filters from the same md5 family, so even the
+    false-positive set hash-matches. No false negatives by
+    construction (tested)."""
+    from prom_spark.operators.sketch import bloom_bits, bloom_passing_keys
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    bits = bloom_bits(cust, "c_custkey", m=_BLOOM_M, k=_BLOOM_K)
+    orders = _t(spark, sf_dir, "orders")
+    passing = bloom_passing_keys(
+        bits,
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        m=_BLOOM_M,
+        k=_BLOOM_K,
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    return (
+        orders.join(passing, on="o_custkey")
+        .join(cust, orders["o_custkey"] == cust["c_custkey"], how="left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("c_custkey").isNotNull().alias("is_member"),
+        )
+    )
+
+
+def _q46_sql() -> str:
+    pos = [
+        "({expr} % {m})".format(
+            expr=_md5_int_sql("'bf%d:' || k" % i, 4), m=_BLOOM_M
+        )
+        for i in range(_BLOOM_K)
+    ]
+    probe_pos = [p.replace("|| k", "|| o_custkey") for p in pos]
+    return f"""
+WITH cust AS (
+  SELECT c_custkey AS k FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+bits AS (
+  SELECT DISTINCT unnest([{", ".join(pos)}]) AS pos FROM cust),
+probe AS (
+  -- NOT DISTINCT over (key, pos): a key whose hash family collides
+  -- into the same position must count that position once per hash,
+  -- matching the Spark side's exploded hit count
+  SELECT o_custkey,
+         unnest([{", ".join(probe_pos)}]) AS pos
+  FROM (SELECT DISTINCT o_custkey FROM orders)),
+passing AS (
+  SELECT o_custkey FROM probe JOIN bits USING (pos)
+  GROUP BY 1 HAVING count(*) = {_BLOOM_K})
+SELECT o.o_orderkey, o.o_custkey, (c.k IS NOT NULL) AS is_member
+FROM orders o
+JOIN passing USING (o_custkey)
+LEFT JOIN cust c ON o.o_custkey = c.k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -2066,6 +2364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_range_join": q39_range_join,
         "q40_time_rollup": q40_time_rollup,
         "q41_cms_heavy_hitters": q41_cms_heavy_hitters,
+        "q42_stratified_sample": q42_stratified_sample,
+        "q43_event_pagerank": q43_event_pagerank,
+        "q44_basket_triangles": q44_basket_triangles,
+        "q45_kmv_distinct": q45_kmv_distinct,
+        "q46_bloom_filter_join": q46_bloom_filter_join,
     }
 
 
@@ -2118,4 +2421,9 @@ def oracle_sql() -> dict[str, str]:
         "q39_range_join": _Q39_SQL,
         "q40_time_rollup": _Q40_SQL,
         "q41_cms_heavy_hitters": _Q41_SQL,
+        "q42_stratified_sample": _Q42_SQL,
+        "q43_event_pagerank": _q43_sql(),
+        "q44_basket_triangles": _Q44_SQL,
+        "q45_kmv_distinct": _Q45_SQL,
+        "q46_bloom_filter_join": _q46_sql(),
     }
