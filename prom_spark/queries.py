@@ -2321,6 +2321,180 @@ LEFT JOIN cust c ON o.o_custkey = c.k
 """
 
 
+def q47_exact_quantiles(spark, sf_dir):
+    """Distributed exact quantiles: p50/p90/p99 of event value per
+    event_type via Spark's interpolating ``percentile`` aggregate (one
+    hash-partitioned agg; the buffer holds a value->count map per
+    group). Oracle: DuckDB's ``quantile_cont`` — an independent
+    implementation of the same (n-1)*q linear interpolation. Scale
+    note: at 10^12 rows with high-cardinality value domains the exact
+    buffer grows with distinct values — the scale path is
+    approx_percentile (t-digest, mergeable) or a binned histogram; the
+    exact form is the correctness anchor those are tested against."""
+    e = _t(spark, sf_dir, "events")
+    qs = e.groupBy("event_type").agg(
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return qs.select(
+        "event_type",
+        F.round(F.col("q")[0], 6).alias("p50"),
+        F.round(F.col("q")[1], 6).alias("p90"),
+        F.round(F.col("q")[2], 6).alias("p99"),
+        "n",
+    )
+
+
+_Q47_SQL = """
+SELECT event_type,
+       round(q[1], 6) AS p50, round(q[2], 6) AS p90, round(q[3], 6) AS p99,
+       n
+FROM (SELECT event_type,
+             quantile_cont(value, [0.5, 0.9, 0.99]) AS q,
+             count(*) AS n
+      FROM events GROUP BY 1)
+"""
+
+
+_TFIDF_TOPK = 3
+
+
+def q48_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top terms per document — the classic corpus-weighting
+    primitive (sklearn-style smoothed idf: ln((1+N)/(1+df)) + 1).
+    Term frequencies are one corpus shuffle on (doc, term); document
+    frequencies are vocabulary-bounded and broadcast back; the per-doc
+    top-k is a window over the already-aggregated tf stream. Ranking
+    ties are broken on the ROUNDED score then term, so both engines
+    produce the identical top-3 even where ln() differs in the last
+    ulp."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), on="term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .select("doc_id", "rk", "term", "score", "tf", "df")
+    )
+
+
+_Q48_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((1.0 + nn.n) / (1.0 + dfreq.df)) + 1.0), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+SELECT doc_id, rk, term, score, tf, df
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rk
+      FROM scored)
+WHERE rk <= {_TFIDF_TOPK}
+"""
+
+
+_PMI_MIN_COUNT, _PMI_TOPK = 5, 100
+
+
+def q49_pmi_collocations(spark, sf_dir):
+    """Corpus collocations by pointwise mutual information over
+    adjacent token bigrams: PMI = ln(c(a,b) * T / (c(a,*) * c(*,b))),
+    positional marginals from the bigram stream itself. Every count is
+    an exact integer and every shuffle key is vocabulary-bounded (the
+    bigram aggregation is map-side combinable), so the corpus-sized
+    work is one scan + one shuffle regardless of scale. Integer
+    products stay under 2^53 before the double division, so both
+    engines compute the identical ratio."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    bigrams = (
+        d.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    )
+    pair = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    left = pair.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    right = pair.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    total = pair.agg(F.sum("c_ab")).collect()[0][0]
+    scored = (
+        pair.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(left), on="a")
+        .join(F.broadcast(right), on="b")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.lit(int(total))).cast("double")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PMI_TOPK)
+        .select("rk", "a", "b", "c_ab", "pmi")
+    )
+
+
+_Q49_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+bg AS (
+  -- list comprehension instead of a lateral generate_series (DuckDB
+  -- cannot parameterize the table function with a column) — q14 idiom
+  SELECT unnest([{{'a': t[i], 'b': t[i + 1]}}
+                 for i in generate_series(1, len(t) - 1)]) AS s
+  FROM toks),
+pair AS (SELECT s.a AS a, s.b AS b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+lft AS (SELECT a, sum(c_ab) AS c_a FROM pair GROUP BY 1),
+rgt AS (SELECT b, sum(c_ab) AS c_b FROM pair GROUP BY 1),
+tot AS (SELECT sum(c_ab) AS t FROM pair),
+scored AS (
+  SELECT p.a, p.b, p.c_ab,
+         round(ln(CAST(p.c_ab * tot.t AS DOUBLE)
+                  / CAST(l.c_a * r.c_b AS DOUBLE)), 6) AS pmi
+  FROM pair p JOIN lft l USING (a) JOIN rgt r USING (b) CROSS JOIN tot
+  WHERE p.c_ab >= {_PMI_MIN_COUNT})
+SELECT rk, a, b, c_ab, pmi
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS rk
+      FROM scored)
+WHERE rk <= {_PMI_TOPK}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -2369,6 +2543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_basket_triangles": q44_basket_triangles,
         "q45_kmv_distinct": q45_kmv_distinct,
         "q46_bloom_filter_join": q46_bloom_filter_join,
+        "q47_exact_quantiles": q47_exact_quantiles,
+        "q48_tfidf_topterms": q48_tfidf_topterms,
+        "q49_pmi_collocations": q49_pmi_collocations,
     }
 
 
@@ -2426,4 +2603,7 @@ def oracle_sql() -> dict[str, str]:
         "q44_basket_triangles": _Q44_SQL,
         "q45_kmv_distinct": _Q45_SQL,
         "q46_bloom_filter_join": _q46_sql(),
+        "q47_exact_quantiles": _Q47_SQL,
+        "q48_tfidf_topterms": _Q48_SQL,
+        "q49_pmi_collocations": _Q49_SQL,
     }

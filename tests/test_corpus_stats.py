@@ -1,0 +1,63 @@
+"""Discriminating-property gates for q47-q49 (quantiles/tf-idf/PMI)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_quantiles_known_sequence(spark):
+    # values 1..101 per group: p50=51, p90=91, p99=100.0 exactly (the
+    # (n-1)*q rank lands on integers for n=101)
+    rows = [("g", float(i)) for i in range(1, 102)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = (
+        df.groupBy("event_type")
+        .agg(F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"))
+        .collect()[0]
+    )
+    assert got.q == [51.0, 91.0, 100.0]
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    # 'common' appears in every doc; 'rare' only in doc 0 (twice)
+    rows = [
+        (0, "rare rare common alpha beta"),
+        (1, "common alpha alpha gamma delta"),
+        (2, "common beta gamma gamma epsilon"),
+        (3, "common delta epsilon epsilon alpha"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_rare_term_beats_ubiquitous(spark, mini_docs, tmp_path):
+    import prom_spark.queries as Q
+
+    # route the query at a parquet dir shaped like the driver tables
+    d = str(tmp_path)
+    mini_docs.write.parquet(f"{d}/documents.parquet")
+    out = Q.q48_tfidf_topterms(spark, d).collect()
+    top_doc0 = [r.term for r in sorted(out, key=lambda r: r.rk) if r.doc_id == 0]
+    # doc 0's top term must be 'rare' (tf=2, df=1), never 'common'
+    assert top_doc0[0] == "rare"
+    assert all(r.term != "common" or r.rk > 1 for r in out if r.doc_id == 0)
+    # every doc got exactly 3 ranked terms with rk 1..3
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.rk)
+    assert all(sorted(v) == [1, 2, 3] for v in by_doc.values())
+
+
+def test_pmi_perfect_collocation_ranks_first(spark, tmp_path):
+    import prom_spark.queries as Q
+
+    # 'neural network' always adjacent (8x, passes min-count); filler
+    # bigrams are frequent but independent
+    filler = "the cat the dog the cat the dog the fox"
+    rows = [(i, f"neural network {filler}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = sorted(Q.q49_pmi_collocations(spark, d).collect(), key=lambda r: r.rk)
+    assert (out[0].a, out[0].b) == ("neural", "network")
+    # PMI of the exclusive pair exceeds every filler pair
+    assert out[0].pmi > out[1].pmi
