@@ -128,3 +128,38 @@ def test_build_kg_triple_stage_single_shuffle(spark):
         assert n_shuffles == 1, tree
         assert "SortMergeJoin" not in tree, tree
         assert "Window" in tree, tree
+
+
+def test_stratified_sample_stream_never_shuffled(spark):
+    """The sampling filter must reach the stream through a BROADCAST
+    join of the tiny stratum-count table — if the stream side ever
+    plans a shuffle Exchange, the operator has regressed to moving the
+    corpus to sample it."""
+    from prom_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "id long, grp string"
+    )
+    plan = _op_tree(_formatted_plan(spark, stratified_sample(df, ["grp"], "id", cap=5)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly ONE shuffle exchange — the tiny count aggregation's; a
+    # second one would mean the stream itself is being moved
+    import re
+
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln) and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) == 1, plan
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The bit table must broadcast onto the probe stream."""
+    from prom_spark.operators.sketch import bloom_bits, bloom_passing_keys
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    probes = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = bloom_passing_keys(bloom_bits(members, "k"), probes, "k")
+    plan = _op_tree(_formatted_plan(spark, out))
+    assert "BroadcastHashJoin" in plan
