@@ -2495,6 +2495,115 @@ WHERE rk <= {_PMI_TOPK}
 """
 
 
+def q50_funnel(spark, sf_dir):
+    """Ordered-funnel analysis: per user, the earliest view, the
+    earliest click AFTER that view, the earliest purchase AFTER that
+    click — the event-sequence primitive behind conversion metrics.
+    Three chained min-aggregations, every shuffle keyed by user_id so
+    a co-partitioned layout reuses one exchange; no window over raw
+    events, no collect. Timestamps reduce to epoch micros (exact
+    integers in both engines)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("view_us")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    return (
+        v.join(c, on="user_id", how="left")
+        .join(p, on="user_id", how="left")
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            (
+                F.lit(1)
+                + F.when(F.col("click_us").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("purchase_us").isNotNull(), 1).otherwise(0)
+            ).alias("stage"),
+        )
+    )
+
+
+_Q50_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (
+  SELECT user_id, min(us) AS view_us FROM e
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(us) AS click_us
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND us > view_us GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(us) AS purchase_us
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND us > click_us GROUP BY 1)
+SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+       1 + (CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+_POSTINGS_K = 20
+
+
+def q51_inverted_index(spark, sf_dir):
+    """Inverted-index construction: per term, document frequency and
+    the first 20 postings (doc_ids ascending) — the IR-side primitive
+    for corpus search/dedup tooling. The posting-list truncation runs
+    through operators/topk.salted_topk, so a stopword term that
+    appears in most of a 10^12-doc corpus cannot serialize the stage
+    into one task; df comes from the full distinct stream (map-side
+    combinable count)."""
+    from prom_spark.operators.topk import salted_topk
+
+    d = _t(spark, sf_dir, "documents")
+    posting = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    ).distinct()
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = salted_topk(posting, ["term"], "doc_id", k=_POSTINGS_K)
+    postings = top.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings")
+    )
+    return dfreq.join(postings, on="term").select("term", "df", "postings")
+
+
+_Q51_SQL = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM posting)
+SELECT term, df, postings
+FROM (SELECT term, count(*) AS df FROM posting GROUP BY 1) d
+JOIN (SELECT term, list_sort(list(doc_id)) AS postings
+      FROM ranked WHERE rn <= {_POSTINGS_K} GROUP BY 1) p USING (term)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -2546,6 +2655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_exact_quantiles": q47_exact_quantiles,
         "q48_tfidf_topterms": q48_tfidf_topterms,
         "q49_pmi_collocations": q49_pmi_collocations,
+        "q50_funnel": q50_funnel,
+        "q51_inverted_index": q51_inverted_index,
     }
 
 
@@ -2606,4 +2717,6 @@ def oracle_sql() -> dict[str, str]:
         "q47_exact_quantiles": _Q47_SQL,
         "q48_tfidf_topterms": _Q48_SQL,
         "q49_pmi_collocations": _Q49_SQL,
+        "q50_funnel": _Q50_SQL,
+        "q51_inverted_index": _Q51_SQL,
     }
