@@ -2604,6 +2604,143 @@ JOIN (SELECT term, list_sort(list(doc_id)) AS postings
 """
 
 
+_WSAMPLE_K = 10
+
+
+def q52_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (priority / exponential-
+    clock sampling, Efraimidis-Spirakis): per event_type, draw 10
+    events with probability proportional to ``value`` by ranking on
+    key = -ln(u)/w with u a deterministic portable hash of the event
+    id — the weighted analogue of q42's threshold sampling, one pass,
+    mergeable (the top-k of a union is the top-k of the per-part
+    top-ks), rerun/repartition-stable. The top-k runs through the
+    skew-safe salted_topk. Both engines compute the identical key from
+    the identical 48-bit hash integer."""
+    from prom_spark.operators.topk import salted_topk
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("event_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = e.select(
+        "event_type",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        (-F.log((h + F.lit(1)).cast("double") / F.lit(float(1 << 48)))
+         / F.col("value")).alias("_key"),
+    )
+    return salted_topk(keyed, ["event_type"], "_key", k=_WSAMPLE_K).select(
+        "event_type", "event_id", "value"
+    )
+
+
+_Q52_SQL = f"""
+WITH keyed AS (
+  SELECT event_type, event_id, round(value, 2) AS value,
+         -ln(CAST({_md5_int_sql("'ws:' || event_id", 12)} + 1 AS DOUBLE)
+             / 281474976710656.0) / value AS key
+  FROM events WHERE value > 0),
+ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY key) AS rn
+  FROM keyed)
+SELECT event_type, event_id, value FROM ranked WHERE rn <= {_WSAMPLE_K}
+"""
+
+
+_MA_WINDOW = 5
+
+
+def q53_rolling_average(spark, sf_dir):
+    """Per-user rolling statistics: moving average of the last 5 event
+    values (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) over the
+    (ts, event_id)-ordered stream — the time-series smoothing
+    primitive. The window partitions by user (bounded per-user
+    history; no global sort), the sum is an exact DECIMAL so partial-
+    aggregation order cannot drift, and the average is one double
+    division of identical operands in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MA_WINDOW - 1), 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("moving_avg"),
+    )
+
+
+_Q53_SQL = f"""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_window,
+       round(CAST(sum(CAST(value AS DECIMAL(27, 6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_MA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q54_retention(spark, sf_dir):
+    """Daily new-vs-returning retention: per day, active users, users
+    whose FIRST event falls on that day, and the returning remainder —
+    the cohort primitive behind every retention curve. Two
+    aggregations: per-user first-seen (map-side combinable min), then
+    one distinct-count per day with the broadcast first-seen join
+    deciding new vs returning. All integers."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        e.distinct()
+        .join(F.broadcast(first), on="user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            ).alias("n_returning"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_active",
+            "n_new",
+            "n_returning",
+        )
+    )
+
+
+_Q54_SQL = """
+WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+SELECT CAST(day AS VARCHAR) AS day,
+       count(*) AS n_active,
+       sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new,
+       sum(CASE WHEN day != first_day THEN 1 ELSE 0 END) AS n_returning
+FROM e JOIN first USING (user_id)
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -2657,6 +2794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_pmi_collocations": q49_pmi_collocations,
         "q50_funnel": q50_funnel,
         "q51_inverted_index": q51_inverted_index,
+        "q52_weighted_sample": q52_weighted_sample,
+        "q53_rolling_average": q53_rolling_average,
+        "q54_retention": q54_retention,
     }
 
 
@@ -2719,4 +2859,7 @@ def oracle_sql() -> dict[str, str]:
         "q49_pmi_collocations": _Q49_SQL,
         "q50_funnel": _Q50_SQL,
         "q51_inverted_index": _Q51_SQL,
+        "q52_weighted_sample": _Q52_SQL,
+        "q53_rolling_average": _Q53_SQL,
+        "q54_retention": _Q54_SQL,
     }

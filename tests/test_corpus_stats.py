@@ -61,3 +61,57 @@ def test_pmi_perfect_collocation_ranks_first(spark, tmp_path):
     assert (out[0].a, out[0].b) == ("neural", "network")
     # PMI of the exclusive pair exceeds every filler pair
     assert out[0].pmi > out[1].pmi
+
+
+def test_weighted_sample_prefers_heavy_items(spark, tmp_path):
+    import prom_spark.queries as Q
+
+    # 100 groups; in each, item 0 has weight 50 and items 1..30 weight 1.
+    # P(heavy in 10-of-31 weighted-without-replacement draws) is ~1;
+    # under UNIFORM sampling it would be ~10/31.
+    rows = []
+    eid = 0
+    for g in range(100):
+        for i in range(31):
+            rows.append((eid, f"g{g}", 50.0 if i == 0 else 1.0))
+            eid += 1
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(e, t, v, dt.datetime(2024, 1, 1)) for e, t, v in rows],
+        "event_id long, event_type string, value double, ts timestamp",
+    )
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/events.parquet")
+    out = Q.q52_weighted_sample(spark, d).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.event_type, []).append(r.value)
+    assert len(by_group) == 100 and all(len(v) == 10 for v in by_group.values())
+    heavy_rate = sum(1 for v in by_group.values() if 50.0 in v) / 100
+    assert heavy_rate > 0.9, heavy_rate  # weighted: ~1.0; uniform: ~0.32
+
+
+def test_retention_new_vs_returning(spark, tmp_path):
+    import datetime as dt
+
+    import prom_spark.queries as Q
+
+    rows = [
+        # day1: users 1,2 new; day2: 1 returns, 3 new; day3: 3 returns
+        (1, 1, dt.datetime(2024, 1, 1, 5)), (2, 2, dt.datetime(2024, 1, 1, 6)),
+        (3, 1, dt.datetime(2024, 1, 2, 5)), (4, 3, dt.datetime(2024, 1, 2, 6)),
+        (5, 3, dt.datetime(2024, 1, 3, 5)),
+        # same-day duplicate events must not double-count the user
+        (6, 3, dt.datetime(2024, 1, 3, 9)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/events.parquet")
+    out = {r.day: (r.n_active, r.n_new, r.n_returning)
+           for r in Q.q54_retention(spark, d).collect()}
+    assert out == {
+        "2024-01-01": (2, 2, 0),
+        "2024-01-02": (2, 1, 1),
+        "2024-01-03": (1, 0, 1),
+    }
