@@ -1314,10 +1314,22 @@ def q31_trigram_langid(spark, sf_dir):
             )
         ).alias("tri"),
     )
+    # ONE explode + ONE map-side-combinable shuffle: both consumers
+    # (the language profile and the per-doc distinct trigram set) are
+    # re-aggregations of the same per-(doc, lang, trigram) counts.
+    # Column pruning specializes the shared subtree per consumer and
+    # defeats ReuseExchange, so the single computation is pinned with a
+    # lazy localCheckpoint (the q26/q27 pattern) — the trigram stream
+    # is exploded over the corpus exactly once.
+    per_doc = (
+        tris.groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     rnk_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
     prof = (
-        tris.groupBy("lang", "tri")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        per_doc.groupBy("lang", "tri")
+        .agg(F.sum("c").alias("cnt"))
         .withColumn("rnk", F.row_number().over(rnk_w))
         .filter(F.col("rnk") <= _TRI_K)
         .select(
@@ -1326,7 +1338,7 @@ def q31_trigram_langid(spark, sf_dir):
             (F.lit(_TRI_K) - F.col("rnk") + 1).cast("long").alias("wgt"),
         )
     )
-    doc_tris = tris.select("doc_id", "tri").distinct()
+    doc_tris = per_doc.select("doc_id", "tri")
     scores = (
         doc_tris.join(F.broadcast(prof), "tri")
         .groupBy("doc_id", "plang")
