@@ -2753,6 +2753,49 @@ GROUP BY 1
 """
 
 
+def q55_translate(spark, sf_dir):
+    """N3/N4 two-stage translation (functions/translate): documents
+    run through the domain-dictionary broadcast stage, with an
+    Arrow-batched per-executor-cached model fallback for dictionary
+    misses (deterministic stand-in kernel — the MarianMT slot; see the
+    module docstring). Reference: the dict-hit-else-model chain at
+    src/translate_onto.py:98-112. The oracle re-expresses BOTH stages
+    as token-map joins, so dict-over-model precedence and the
+    order-preserving re-assembly sit under the hash gate."""
+    from prom_spark.functions.translate import translate_texts
+
+    d = _t(spark, sf_dir, "documents")
+    return translate_texts(
+        d, text_col="text", key_cols=["doc_id", "lang"]
+    ).select("doc_id", "lang", "translated")
+
+
+def _q55_sql() -> str:
+    from prom_spark.functions.translate import DOMAIN_DICT, MODEL_LEXICON
+
+    dict_vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(DOMAIN_DICT.items()))
+    lex_vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(MODEL_LEXICON.items()))
+    return f"""
+WITH dict(tok, tr) AS (VALUES {dict_vals}),
+lex(tok, tr) AS (VALUES {lex_vals}),
+toks AS (
+  SELECT doc_id, lang,
+         unnest([{{'p': i, 'tok': t[i]}}
+                 for i in generate_series(1, len(t))]) AS s
+  FROM (SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents)),
+tr AS (
+  SELECT doc_id, lang, s.p AS p,
+         coalesce(d.tr, l.tr, s.tok) AS tr
+  FROM toks
+  LEFT JOIN dict d ON d.tok = s.tok
+  LEFT JOIN lex l ON l.tok = s.tok)
+SELECT doc_id, lang, string_agg(tr, ' ' ORDER BY p) AS translated
+FROM tr GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -2809,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_weighted_sample": q52_weighted_sample,
         "q53_rolling_average": q53_rolling_average,
         "q54_retention": q54_retention,
+        "q55_translate": q55_translate,
     }
 
 
@@ -2874,4 +2918,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_weighted_sample": _Q52_SQL,
         "q53_rolling_average": _Q53_SQL,
         "q54_retention": _Q54_SQL,
+        "q55_translate": _q55_sql(),
     }
