@@ -8,7 +8,7 @@ entry(spark)  — flagship: reshape sf0.001 documents into the transcript
 queries()     — one entry per implemented operator from SURVEY.md §2
                 plus the training-data-pipeline extras (dedup, ANN,
                 text analysis), each over the driver testdata tables.
-oracle_sql()  — DuckDB twins for ALL 55 entries (see
+oracle_sql()  — DuckDB twins for ALL 56 entries (see
                 prom_spark/queries.py for the exactness rules: decimal
                 aggregates cast to rounded doubles on both engines,
                 round(x, 6) similarity scores, md5 hashing; recursive

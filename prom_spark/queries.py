@@ -2796,6 +2796,58 @@ FROM tr GROUP BY 1, 2
 """
 
 
+def q56_spellcheck(spark, sf_dir):
+    """N6 spellcheck as a distributed stage (operators/spellcheck):
+    corpus tokens are deterministically corrupted (last char dropped
+    from every distinct token of length >= 4 — the q28 self-test
+    pattern, since the synthetic corpus has no real typos) and then
+    corrected against the corpus vocabulary via the symmetric-delete
+    blocked join: equi-join on delete-1 key sets (complete for edit
+    distance 1 by construction), codegen levenshtein verify, best
+    correction by (corpus freq desc, term asc). Reference analogue:
+    row-at-a-time spelchek.correct, src/translate_onto.py:156-158.
+    Oracle: the NAIVE unblocked distance join — an independent
+    formulation the blocking must exactly reproduce."""
+    from prom_spark.operators.spellcheck import spell_correct
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    probes = (
+        vocab.filter(F.length("term") >= 4)
+        .select(
+            F.substring(F.col("term"), 1, F.length("term") - 1).alias("token")
+        )
+        .distinct()
+    )
+    return spell_correct(probes, vocab).select(
+        "token", "corrected", "distance", "freq"
+    )
+
+
+_Q56_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+vocab AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
+probes AS (
+  SELECT DISTINCT substr(term, 1, len(term) - 1) AS token
+  FROM vocab WHERE len(term) >= 4),
+cand AS (
+  SELECT p.token, v.term AS corrected,
+         levenshtein(p.token, v.term) AS distance, v.freq
+  FROM probes p CROSS JOIN vocab v
+  WHERE levenshtein(p.token, v.term) <= 1)
+SELECT token, corrected, distance, freq
+FROM (SELECT *, row_number() OVER (PARTITION BY token
+                                   ORDER BY freq DESC, corrected ASC) AS rn
+      FROM cand)
+WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_lineitem_agg": q01_lineitem_agg,
@@ -2853,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_rolling_average": q53_rolling_average,
         "q54_retention": q54_retention,
         "q55_translate": q55_translate,
+        "q56_spellcheck": q56_spellcheck,
     }
 
 
@@ -2919,4 +2972,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_rolling_average": _Q53_SQL,
         "q54_retention": _Q54_SQL,
         "q55_translate": _q55_sql(),
+        "q56_spellcheck": _Q56_SQL,
     }
