@@ -2157,15 +2157,22 @@ LEFT JOIN (SELECT src AS node, count(*) AS n_out
     return head + "".join(its) + tail
 
 
+_BASKET_MIN_SUPPORT = 2
+
+
 def q44_basket_triangles(spark, sf_dir):
     """Degree-oriented triangle counting (operators/graph
     .triangle_counts) over the market-basket graph: parts are linked
-    when they ship in the same order. The operator orients each edge
-    from its (degree, id)-smaller endpoint, so wedge generation is
-    bounded by sqrt-degree and hub nodes cannot blow up the join — the
-    shape that survives power-law graphs. Oracle: an INDEPENDENT
-    formulation (ordered 3-way edge self-join x<y<z), not a
-    re-expression of the oriented plan."""
+    when they ship together in >= 2 orders (the standard support
+    threshold — co-occurrence mining keeps only statistically
+    meaningful edges, and it is what bounds the edge set at corpus
+    scale: one shared order is noise, the thresholded graph grows like
+    repeated-pair volume, not like pair volume). The operator orients
+    each edge from its (degree, id)-smaller endpoint, so wedge
+    generation is bounded by sqrt-degree and hub nodes cannot blow up
+    the join — the shape that survives power-law graphs. Oracle: an
+    INDEPENDENT formulation (ordered 3-way edge self-join x<y<z), not
+    a re-expression of the oriented plan."""
     from prom_spark.operators.graph import triangle_counts
 
     li = (
@@ -2176,18 +2183,23 @@ def q44_basket_triangles(spark, sf_dir):
     x, y = li.alias("x"), li.alias("y")
     pairs = (
         x.join(y, on=(F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _BASKET_MIN_SUPPORT)
+        .select("a", "b")
     )
     return triangle_counts(pairs).select(
         F.col("node").alias("partkey"), "degree", "triangles", "clustering"
     )
 
 
-_Q44_SQL = """
+_Q44_SQL = f"""
 WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (
-  SELECT DISTINCT x.p AS a, y.p AS b
-  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+  SELECT a, b FROM (
+    SELECT x.p AS a, y.p AS b, count(*) AS c
+    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2)
+  WHERE c >= {_BASKET_MIN_SUPPORT}),
 deg AS (
   SELECT node, count(*) AS degree
   FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
