@@ -38,7 +38,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["cooccurrence_edges", "pagerank", "triangle_counts"]
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_items_per_group: int = 64,
+) -> DataFrame:
+    """Support-thresholded co-occurrence graph: an undirected edge
+    ``(a, b)`` with ``a < b`` for every item pair sharing at least
+    ``min_support`` groups (orders, documents, sessions, ...).
+
+    The per-group pair generation is O(k²) in the group's distinct item
+    count k — correct for bounded baskets but a single mega-group (a
+    10⁶-item order in a 10¹²-row corpus) would otherwise emit 10¹²
+    intermediate pairs inside ONE join task. ``max_items_per_group``
+    caps k first, keeping the ``max_items_per_group`` smallest items
+    per group (deterministic, via the skew-safe salted top-k, so the
+    capping stage itself cannot be serialized by the hot group either).
+    Groups at or under the cap — every real basket in the TPC-H-shaped
+    testdata — are untouched; the truncation rule is part of the
+    operator contract and mirrored in the q44 oracle twin, so a binding
+    cap changes both engines identically.
+    """
+    if min_support < 1:
+        raise ValueError(f"cooccurrence_edges: min_support must be >= 1")
+    if max_items_per_group < 2:
+        raise ValueError(
+            f"cooccurrence_edges: max_items_per_group must be >= 2, "
+            f"got {max_items_per_group}"
+        )
+    from prom_spark.operators.topk import salted_topk
+
+    items = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    capped = salted_topk(items, ["_g"], "_i", k=max_items_per_group)
+    x, y = capped.alias("x"), capped.alias("y")
+    return (
+        x.join(
+            y,
+            on=(F.col("x._g") == F.col("y._g")) & (F.col("x._i") < F.col("y._i")),
+        )
+        .groupBy(F.col("x._i").alias("a"), F.col("y._i").alias("b"))
+        .agg(F.count(F.lit(1)).alias("_support"))
+        .filter(F.col("_support") >= min_support)
+        .select("a", "b")
+    )
 
 
 def pagerank(

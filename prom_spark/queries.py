@@ -139,7 +139,8 @@ SELECT o_custkey, o_orderkey, rk FROM (
 
 
 def q04_orders_without_lineitems(spark, sf_dir):
-    """U3 anti-join (orders with no line items — non-empty at every SF)."""
+    """U3 anti-join (orders with no line items — non-empty at every SF).
+    Driver-gated through the merged q04_set_ops entry."""
     o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
         "o_orderkey", "o_custkey"
@@ -153,7 +154,8 @@ WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
 
 
 def q05_event_customers(spark, sf_dir):
-    """U2 semi-join: event users that are known customers."""
+    """U2 semi-join: event users that are known customers.
+    Driver-gated through the merged q04_set_ops entry."""
     e, c = _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
     return (
         e.join(c, e.user_id == c.c_custkey, "left_semi")
@@ -164,6 +166,37 @@ def q05_event_customers(spark, sf_dir):
 
 _Q05_SQL = """
 SELECT DISTINCT user_id FROM events WHERE user_id IN (SELECT c_custkey FROM customer)
+"""
+
+
+def q04_set_ops(spark, sf_dir):
+    """U2/U3 set operations under ONE driver gate: the q04 anti-join
+    (orders with no line items) and the q05 semi-join (event users that
+    are known customers), tagged by section and unioned on a common
+    (section, k1, k2) schema. Consolidated so the driver's 50-entry
+    correctness window reaches every implemented operator — both plans
+    are unchanged, only the gate packaging merged (round-5 item #2)."""
+    anti = q04_orders_without_lineitems(spark, sf_dir).select(
+        F.lit("anti").alias("section"),
+        F.col("o_orderkey").cast("long").alias("k1"),
+        F.col("o_custkey").cast("long").alias("k2"),
+    )
+    semi = q05_event_customers(spark, sf_dir).select(
+        F.lit("semi").alias("section"),
+        F.col("user_id").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+    )
+    return anti.unionByName(semi)
+
+
+_Q04_SET_SQL = f"""
+SELECT 'anti' AS section, CAST(o_orderkey AS BIGINT) AS k1,
+       CAST(o_custkey AS BIGINT) AS k2
+FROM ({_Q04_SQL})
+UNION ALL
+SELECT 'semi' AS section, CAST(user_id AS BIGINT) AS k1,
+       CAST(NULL AS BIGINT) AS k2
+FROM ({_Q05_SQL})
 """
 
 
@@ -293,7 +326,13 @@ def _emb(spark, sf_dir):
 
 
 def q10_ann_topk(spark, sf_dir):
-    """Brute-force cosine top-k vs the vec_id=0 query vector."""
+    """Brute-force cosine top-k vs the vec_id=0 query vector.
+
+    Retired from the driver window (round-5 item #2): the single-probe
+    top-10 is strictly subsumed by q12 (brute kNN, 3 probes, same
+    cosine/broadcast plan) and q32 (the LSH scale path) — its DuckDB
+    twin stays here and tests/test_retired_entries.py keeps the
+    function itself under the same hash check."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
     return (
@@ -591,7 +630,8 @@ FROM agg GROUP BY 1
 
 
 def q16_doc_stats(spark, sf_dir):
-    """Token counting, BPE-ish counting, quality score, fingerprint."""
+    """Token counting, BPE-ish counting, quality score, fingerprint.
+    Driver-gated through the merged q16_doc_profile entry."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -627,7 +667,8 @@ FROM documents
 
 
 def q17_langid(spark, sf_dir):
-    """Stopword-ratio language heuristic."""
+    """Stopword-ratio language heuristic.
+    Driver-gated through the merged q16_doc_profile entry."""
     d = _t(spark, sf_dir, "documents")
     ratio = english_stopword_ratio("text")
     return d.select(
@@ -647,6 +688,35 @@ SELECT doc_id, lang,
                        6) >= 0.05
             THEN 'en' ELSE 'other' END AS lang_pred
 FROM documents
+"""
+
+
+def q16_doc_profile(spark, sf_dir):
+    """Per-document text-analysis profile under ONE driver gate: the
+    q16 stats family (token counts, BPE-ish counts, quality score,
+    stopword ratio, fingerprint) plus the q17 stopword-ratio language
+    heuristic — all pure per-row projections of the same documents
+    scan, so the merged query is a single select (one scan, zero
+    shuffles; narrower than running the two separately). Consolidated
+    for the driver's 50-entry correctness window (round-5 item #2)."""
+    d = _t(spark, sf_dir, "documents")
+    ratio = english_stopword_ratio("text")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+        quality_score("text").alias("quality"),
+        ratio.alias("stop_ratio"),
+        doc_fingerprint("text").alias("fingerprint"),
+        "lang",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+_Q16_PROFILE_SQL = f"""
+SELECT s.doc_id, s.n_tokens, s.n_bpe, s.quality, s.stop_ratio,
+       s.fingerprint, l.lang, l.lang_pred
+FROM ({_Q16_SQL}) s JOIN ({_Q17_SQL}) l USING (doc_id)
 """
 
 
@@ -716,6 +786,14 @@ WHERE tok != term
 # --------------------------------------------------------------------------
 
 def q20_events_hourly(spark, sf_dir):
+    """Hourly grouped aggregation over events.
+
+    Retired from the driver window (round-5 item #2): the q40 rollup's
+    3600-second level is the same aggregation (per event_type hourly
+    count + decimal sum) computed through the re-aggregation ladder, so
+    this gate was redundant — the DuckDB twin stays here and
+    tests/test_retired_entries.py keeps the function under the same
+    hash check."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy(
         "event_type",
@@ -735,7 +813,8 @@ FROM events GROUP BY 1, 2
 
 
 def q21_sessionize(spark, sf_dir):
-    """Gap-based sessionization (30 min) via lag + cumulative sum."""
+    """Gap-based sessionization (30 min) via lag + cumulative sum.
+    Driver-gated through the merged q21_user_activity entry."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_gap = e.select(
@@ -1938,14 +2017,19 @@ def q40_time_rollup(spark, sf_dir):
         e, ts_col="ts", dims=["event_type"], value_col="value",
         resolutions_sec=[60, 3600, 86400],
     )
+    # every numeric column leaves as DECIMAL or integer — r4's driver run
+    # flagged this query hash-only (irreproducible locally) and the one
+    # plausible mechanism was canonicalization of the round(double, 2)
+    # min/max alongside the decimal sum; with no raw double in the output
+    # there is nothing left for a float formatter to disagree about
     return out.select(
         "resolution_sec",
         "bucket_start",
         "event_type",
         "n",
         F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
-        F.round("min_value", 2).alias("min_value"),
-        F.round("max_value", 2).alias("max_value"),
+        F.round("min_value", 2).cast("decimal(12,2)").alias("min_value"),
+        F.round("max_value", 2).cast("decimal(12,2)").alias("max_value"),
     )
 
 
@@ -1960,8 +2044,8 @@ SELECT CAST(lv.res AS INTEGER) AS resolution_sec,
        count(*) AS n,
        CAST(sum(CAST(e.value AS DECIMAL(27, 6))) AS DECIMAL(38, 6))
          AS sum_value,
-       round(min(e.value), 2) AS min_value,
-       round(max(e.value), 2) AS max_value
+       CAST(round(min(e.value), 2) AS DECIMAL(12, 2)) AS min_value,
+       CAST(round(max(e.value), 2) AS DECIMAL(12, 2)) AS max_value
 FROM events e CROSS JOIN lv
 GROUP BY 1, 2, 3
 """
@@ -2158,6 +2242,7 @@ LEFT JOIN (SELECT src AS node, count(*) AS n_out
 
 
 _BASKET_MIN_SUPPORT = 2
+_BASKET_MAX_ITEMS = 64
 
 
 def q44_basket_triangles(spark, sf_dir):
@@ -2173,20 +2258,19 @@ def q44_basket_triangles(spark, sf_dir):
     the join — the shape that survives power-law graphs. Oracle: an
     INDEPENDENT formulation (ordered 3-way edge self-join x<y<z), not
     a re-expression of the oriented plan."""
-    from prom_spark.operators.graph import triangle_counts
+    from prom_spark.operators.graph import cooccurrence_edges, triangle_counts
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(y, on=(F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= _BASKET_MIN_SUPPORT)
-        .select("a", "b")
+    # per-order item cap (capped pair-gen, round-5 item #4): TPC-H
+    # baskets hold <= 7 items so the cap never binds here, but a single
+    # mega-basket at corpus scale would otherwise emit k² pairs in one
+    # task; the cap rule is mirrored in the oracle twin's QUALIFY
+    pairs = cooccurrence_edges(
+        li, "o", "p",
+        min_support=_BASKET_MIN_SUPPORT,
+        max_items_per_group=_BASKET_MAX_ITEMS,
     )
     return triangle_counts(pairs).select(
         F.col("node").alias("partkey"), "degree", "triangles", "clustering"
@@ -2194,7 +2278,10 @@ def q44_basket_triangles(spark, sf_dir):
 
 
 _Q44_SQL = f"""
-WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH li AS (
+  SELECT o, p FROM (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+  QUALIFY row_number() OVER (PARTITION BY o ORDER BY p) <= {_BASKET_MAX_ITEMS}),
 e AS (
   SELECT a, b FROM (
     SELECT x.p AS a, y.p AS b, count(*) AS c
@@ -2683,7 +2770,8 @@ _MA_WINDOW = 5
 
 
 def q53_rolling_average(spark, sf_dir):
-    """Per-user rolling statistics: moving average of the last 5 event
+    """(Driver-gated through the merged q21_user_activity entry.)
+    Per-user rolling statistics: moving average of the last 5 event
     values (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) over the
     (ts, event_id)-ordered stream — the time-series smoothing
     primitive. The window partitions by user (bounded per-user
@@ -2721,7 +2809,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 
 def q54_retention(spark, sf_dir):
-    """Daily new-vs-returning retention: per day, active users, users
+    """(Driver-gated through the merged q21_user_activity entry.)
+    Daily new-vs-returning retention: per day, active users, users
     whose FIRST event falls on that day, and the returning remainder —
     the cohort primitive behind every retention curve. Two
     aggregations: per-user first-seen (map-side combinable min), then
@@ -2762,6 +2851,66 @@ SELECT CAST(day AS VARCHAR) AS day,
        sum(CASE WHEN day != first_day THEN 1 ELSE 0 END) AS n_returning
 FROM e JOIN first USING (user_id)
 GROUP BY 1
+"""
+
+
+def q21_user_activity(spark, sf_dir):
+    """Per-user event-stream analytics under ONE driver gate: q21
+    gap-based sessionization, q53 rolling averages, and q54 retention
+    cohorts, tagged by section and unioned on a common
+    (section, k1, k2, n1, n2, x) schema — every value of all three
+    results is carried (nothing dropped for the packaging):
+
+      sessions:  k1=user_id, n1=n_sessions, n2=n_events
+      rolling:   k1=user_id, k2=event_id, n1=ts_us, n2=n_window,
+                 x=moving_avg
+      retention: k1=day, n1=n_active, n2=n_new, x=n_returning
+
+    The three plans are unchanged; only the gate packaging merged so
+    the driver's 50-entry correctness window reaches every implemented
+    operator (round-5 item #2)."""
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    sess = q21_sessionize(spark, sf_dir).select(
+        F.lit("sessions").alias("section"),
+        F.col("user_id").cast("string").alias("k1"),
+        nl.alias("k2"),
+        F.col("n_sessions").cast("long").alias("n1"),
+        F.col("n_events").cast("long").alias("n2"),
+        nd.alias("x"),
+    )
+    roll = q53_rolling_average(spark, sf_dir).select(
+        F.lit("rolling").alias("section"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_id").cast("long").alias("k2"),
+        F.col("ts_us").cast("long").alias("n1"),
+        F.col("n_window").cast("long").alias("n2"),
+        F.col("moving_avg").alias("x"),
+    )
+    ret = q54_retention(spark, sf_dir).select(
+        F.lit("retention").alias("section"),
+        F.col("day").alias("k1"),
+        nl.alias("k2"),
+        F.col("n_active").cast("long").alias("n1"),
+        F.col("n_new").cast("long").alias("n2"),
+        F.col("n_returning").cast("double").alias("x"),
+    )
+    return sess.unionByName(roll).unionByName(ret)
+
+
+_Q21_ACTIVITY_SQL = f"""
+SELECT 'sessions' AS section, CAST(user_id AS VARCHAR) AS k1,
+       CAST(NULL AS BIGINT) AS k2, n_sessions AS n1,
+       CAST(n_events AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS x
+FROM ({_Q21_SQL})
+UNION ALL
+SELECT 'rolling', CAST(user_id AS VARCHAR), CAST(event_id AS BIGINT),
+       ts_us, CAST(n_window AS BIGINT), moving_avg
+FROM ({_Q53_SQL})
+UNION ALL
+SELECT 'retention', day, CAST(NULL AS BIGINT), CAST(n_active AS BIGINT),
+       CAST(n_new AS BIGINT), CAST(n_returning AS DOUBLE)
+FROM ({_Q54_SQL})
 """
 
 
@@ -2865,24 +3014,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_region_revenue": q02_region_revenue,
         "q03_window_topk": q03_window_topk,
-        "q04_orders_without_lineitems": q04_orders_without_lineitems,
-        "q05_event_customers": q05_event_customers,
+        "q04_set_ops": q04_set_ops,
         "q06_string_sim": q06_string_sim,
         "q07_greedy_round1": q07_greedy_round1,
         "q08_interval_overlap": q08_interval_overlap,
         "q09_dedup_window": q09_dedup_window,
-        "q10_ann_topk": q10_ann_topk,
         "q11_label_centroids": q11_label_centroids,
         "q12_knn": q12_knn,
         "q13_minhash_lsh": q13_minhash_lsh,
         "q14_ngram_jaccard": q14_ngram_jaccard,
         "q15_simhash": q15_simhash,
-        "q16_doc_stats": q16_doc_stats,
-        "q17_langid": q17_langid,
+        "q16_doc_profile": q16_doc_profile,
         "q18_entity_link": q18_entity_link,
         "q19_fuzzy_link": q19_fuzzy_link,
-        "q20_events_hourly": q20_events_hourly,
-        "q21_sessionize": q21_sessionize,
+        "q21_user_activity": q21_user_activity,
         "q22_doc_components": q22_doc_components,
         "q23_greedy_full": q23_greedy_full,
         "q24_mention_grams": q24_mention_grams,
@@ -2914,8 +3059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_funnel": q50_funnel,
         "q51_inverted_index": q51_inverted_index,
         "q52_weighted_sample": q52_weighted_sample,
-        "q53_rolling_average": q53_rolling_average,
-        "q54_retention": q54_retention,
         "q55_translate": q55_translate,
         "q56_spellcheck": q56_spellcheck,
     }
@@ -2932,24 +3075,20 @@ def oracle_sql() -> dict[str, str]:
         "q01_lineitem_agg": _Q01_SQL,
         "q02_region_revenue": _Q02_SQL,
         "q03_window_topk": _Q03_SQL,
-        "q04_orders_without_lineitems": _Q04_SQL,
-        "q05_event_customers": _Q05_SQL,
+        "q04_set_ops": _Q04_SET_SQL,
         "q06_string_sim": _Q06_SQL,
         "q07_greedy_round1": _Q07_SQL,
         "q08_interval_overlap": _Q08_SQL,
         "q09_dedup_window": _Q09_SQL,
-        "q10_ann_topk": _Q10_SQL,
         "q11_label_centroids": _Q11_SQL,
         "q12_knn": _Q12_SQL,
         "q13_minhash_lsh": _Q13_SQL,
         "q14_ngram_jaccard": _Q14_SQL,
         "q15_simhash": _Q15_SQL,
-        "q16_doc_stats": _Q16_SQL,
-        "q17_langid": _Q17_SQL,
+        "q16_doc_profile": _Q16_PROFILE_SQL,
         "q18_entity_link": _Q18_SQL,
         "q19_fuzzy_link": _Q19_SQL,
-        "q20_events_hourly": _Q20_SQL,
-        "q21_sessionize": _Q21_SQL,
+        "q21_user_activity": _Q21_ACTIVITY_SQL,
         "q22_doc_components": _Q22_SQL,
         "q23_greedy_full": _Q23_SQL,
         "q24_mention_grams": _Q24_SQL,
@@ -2981,8 +3120,6 @@ def oracle_sql() -> dict[str, str]:
         "q50_funnel": _Q50_SQL,
         "q51_inverted_index": _Q51_SQL,
         "q52_weighted_sample": _Q52_SQL,
-        "q53_rolling_average": _Q53_SQL,
-        "q54_retention": _Q54_SQL,
         "q55_translate": _q55_sql(),
         "q56_spellcheck": _Q56_SQL,
     }

@@ -124,3 +124,42 @@ def test_triangle_counts_hub_graph(spark):
     got = {r.node: r.triangles for r in triangle_counts(df).collect()}
     assert got[0] == 1 and got[1] == 1 and got[2] == 1
     assert all(got[i] == 0 for i in range(3, 30))
+
+
+def test_cooccurrence_edges_mega_group_capped(spark):
+    from prom_spark.operators.graph import cooccurrence_edges
+
+    # one mega-basket with 500 items plus two normal baskets; the cap
+    # must bound the mega-basket's pair fan-out at C(cap, 2) while
+    # leaving the normal baskets (and their support-2 edge) untouched
+    rows = [(0, i) for i in range(500)]
+    rows += [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "o long, p long")
+    cap = 16
+    edges = cooccurrence_edges(
+        df, "o", "p", min_support=1, max_items_per_group=cap
+    )
+    got = {(r.a, r.b) for r in edges.collect()}
+    # mega-basket contributes exactly the capped (lowest-`cap`-items)
+    # pair set — C(16, 2) = 120 pairs over items 0..15
+    mega = {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+    normal = {(1, 2), (1, 3), (2, 3)}
+    assert got == mega | normal
+    # support threshold still applies after capping: the capped
+    # mega-basket retains items 1,2,3, lifting exactly the pairs the
+    # normal baskets repeat to support >= 2
+    sup2 = cooccurrence_edges(
+        df, "o", "p", min_support=2, max_items_per_group=cap
+    )
+    assert {(r.a, r.b) for r in sup2.collect()} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_cooccurrence_edges_dedups_group_items(spark):
+    from prom_spark.operators.graph import cooccurrence_edges
+
+    # duplicate (group, item) rows must not inflate support
+    df = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2)], "o long, p long"
+    )
+    out = cooccurrence_edges(df, "o", "p", min_support=2)
+    assert out.count() == 0
