@@ -115,11 +115,23 @@ def main() -> None:
     fixture_timings: dict[str, float] = {}
 
     if not kg_only:
+        # best-of-N per query: single-shot numbers on this shared host
+        # are whipsawed up to ~2.6x by steal-time bursts and pay each
+        # plan's codegen compile exactly once — rep 1 absorbs compile +
+        # any host burst, rep 2 measures steady state; best-of mirrors
+        # the KG headline's rep policy so round-over-round per-query
+        # comparisons mean something
+        q_reps = max(1, int(os.environ.get("PROM_BENCH_QUERY_REPS", "2")))
         for name, fn in Q.queries().items():
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            sec = round(time.time() - t0, 3)
-            (fixture_timings if name in fixture_queries else timings)[name] = sec
+            best = None
+            for _ in range(q_reps):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                sec = time.time() - t0
+                best = sec if best is None or sec < best else best
+            (fixture_timings if name in fixture_queries else timings)[name] = round(
+                best, 3
+            )
 
     # --- KG pipeline (north-star throughput) -----------------------------
     from prom_spark.datagen import entity_dictionary, synth_transcripts

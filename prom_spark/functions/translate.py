@@ -63,23 +63,52 @@ MODEL_LEXICON = {
 
 _MODEL_CACHE: dict[str, dict[str, str]] = {}
 
+# config switch for the real-kernel slot: set PROM_SPARK_MT_MODEL to a
+# Hugging Face MarianMT id (e.g. "Helsinki-NLP/opus-mt-en-de") to load
+# the real model per executor process; unset/"standin" keeps the
+# deterministic lexicon stand-in. The swap touches ONLY _load_model and
+# the per-token map in _mt_translate_token_fn — plan, Arrow batching,
+# dict-precedence and re-assembly are identical either way.
+MT_MODEL_ENV = "PROM_SPARK_MT_MODEL"
+_STANDIN_MODEL = "standin-en-de"
 
-def _load_model(name: str) -> dict[str, str]:
+
+def _load_model(name: str):
     """Per-executor-process model cache — the distributed analogue of
     the reference's module-level MarianMT preload. The stand-in
-    'model' is the fixed lexicon; a real deployment returns the loaded
-    MT pipeline here and keeps the cache semantics."""
+    'model' is the fixed lexicon; with ``PROM_SPARK_MT_MODEL`` set to a
+    real model id this loads the MarianMT pipeline instead (requires
+    the ``transformers`` runtime, absent in this container — the
+    failure is loud, never a silent fallback)."""
     if name not in _MODEL_CACHE:
-        _MODEL_CACHE[name] = dict(MODEL_LEXICON)
+        if name == _STANDIN_MODEL:
+            _MODEL_CACHE[name] = dict(MODEL_LEXICON)
+        else:
+            try:
+                from transformers import pipeline  # type: ignore
+            except ImportError as e:  # pragma: no cover - no MT runtime here
+                raise NotImplementedError(
+                    f"{MT_MODEL_ENV}={name!r} requests a real MT model but "
+                    "the 'transformers' runtime is not installed in this "
+                    "environment; unset the variable to use the "
+                    "deterministic stand-in kernel"
+                ) from e
+            _MODEL_CACHE[name] = pipeline("translation", model=name)
     return _MODEL_CACHE[name]
 
 
 def _mt_translate_token_fn(tokens: pd.Series) -> pd.Series:
     """Arrow-batched stage-2 fallback: deterministic stand-in kernel
-    (lexicon hit else pass-through). Real MT would batch
-    ``model.generate`` over the series here."""
-    model = _load_model("standin-en-de")
-    return tokens.map(lambda t: model.get(t, t))
+    (lexicon hit else pass-through), or the real MarianMT pipeline when
+    ``PROM_SPARK_MT_MODEL`` names one (batched ``model(...)`` call)."""
+    import os
+
+    name = os.environ.get(MT_MODEL_ENV, _STANDIN_MODEL)
+    model = _load_model(name)
+    if isinstance(model, dict):
+        return tokens.map(lambda t: model.get(t, t))
+    out = model(tokens.tolist())  # pragma: no cover - needs MT runtime
+    return pd.Series([o["translation_text"] for o in out], index=tokens.index)
 
 
 def _mt_translate_token():
@@ -114,7 +143,17 @@ def translate_texts(
             list(DOMAIN_DICT.items()), "_tok string, _dict_tr string"
         )
     )
-    joined = toks.join(dict_df, on="_tok", how="left")
+    # pin the token explode + broadcast dictionary join: the hit/miss
+    # split consumes this subtree twice, and column pruning specializes
+    # each consumer so Spark would otherwise plan AND execute the
+    # explode twice (the q26/q27/q31 lazy-localCheckpoint pattern).
+    # Trade at 10^12 turns: one materialization of the exploded token
+    # stream to executor storage vs two full corpus scans + explodes —
+    # the materialized stream feeds both branches of the single
+    # re-assembly shuffle, so the exchange downstream is still one.
+    joined = toks.join(dict_df, on="_tok", how="left").localCheckpoint(
+        eager=False
+    )
     # split, don't coalesce: a pandas UDF inside coalesce would still
     # be evaluated for every row (ArrowEvalPython hoists it) — routing
     # only the dictionary MISSES through the model stage is the point

@@ -61,10 +61,46 @@ def synth_assets(spark, n: int = 64, modality: str = "image") -> DataFrame:
     )
 
 
+# config switch for the real-kernel slot: set PROM_SPARK_IMAGE_DECODER
+# to "pillow" to decode real image bytes per Arrow batch; unset/"standin"
+# keeps the deterministic fake. The swap touches ONLY this dispatcher —
+# schema, mapInPandas batch shape and partitioning are identical.
+DECODER_ENV = "PROM_SPARK_IMAGE_DECODER"
+
+
 def _decode_pixels_stub(content: bytes) -> list[float]:
     """STUB decoder: a real implementation would decode the image and
     return pixel statistics. Deterministic fake: 8 floats from the
-    payload's sha256 (NOT a real decode — container has no codec libs)."""
+    payload's sha256 (NOT a real decode — container has no codec libs).
+    With ``PROM_SPARK_IMAGE_DECODER=pillow`` this dispatches to a real
+    Pillow decode (loud failure if the codec lib is absent, never a
+    silent fallback)."""
+    import os
+
+    if os.environ.get(DECODER_ENV, "standin") == "pillow":
+        try:  # pragma: no cover - no codec libs in this container
+            import io
+
+            from PIL import Image  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                f"{DECODER_ENV}=pillow requests a real image decode but "
+                "Pillow is not installed in this environment; unset the "
+                "variable to use the deterministic stand-in kernel"
+            ) from e
+        img = Image.open(io.BytesIO(content)).convert("L")  # pragma: no cover
+        px = list(img.getdata())  # pragma: no cover
+        n = max(len(px), 1)  # pragma: no cover
+        return [  # pragma: no cover
+            sum(px) / (255.0 * n),
+            min(px) / 255.0,
+            max(px) / 255.0,
+            img.width / 4096.0,
+            img.height / 4096.0,
+            0.0,
+            0.0,
+            0.0,
+        ]
     d = hashlib.sha256(content or b"").digest()
     return [b / 255.0 for b in d[:8]]
 

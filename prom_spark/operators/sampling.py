@@ -58,7 +58,9 @@ def stratified_sample(
 ) -> DataFrame:
     """Downsample ``df`` so every stratum (distinct ``strata_cols``
     combination) keeps ~``cap`` rows, deterministically by
-    ``hash32(id_col)``. Strata with <= cap rows are kept whole.
+    ``hash32(id_col)``. Strata with <= cap rows are kept whole. NULL
+    stratum values form their own stratum (null-safe join), matching
+    the groupBy's NULL handling.
 
     Plan: groupBy-count over strata (tiny output), broadcast join back,
     codegen filter. The data stream is never shuffled.
@@ -67,12 +69,23 @@ def stratified_sample(
         raise ValueError(f"stratified_sample: cap must be positive, got {cap}")
     strata = list(strata_cols)
     counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_stratum_n"))
+    # null-safe re-join: a NULL stratum value (groupBy already counts it
+    # as its own group) must rejoin its rows and be sampled as a group —
+    # a plain equi-join would silently DROP every NULL-stratum row from
+    # the sample (the failure mode is invisible: fewer rows, no error)
+    renamed = counts.select(
+        *[F.col(c).alias(f"_s_{c}") for c in strata], "_stratum_n"
+    )
+    cond = None
+    for c in strata:
+        e = F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+        cond = e if cond is None else cond & e
     h = hash32(F.col(id_col), seed=seed)
     return (
-        df.join(F.broadcast(counts), on=strata)
+        df.join(F.broadcast(renamed), on=cond)
         .filter(
             (F.col("_stratum_n") <= F.lit(cap))
             | (h * F.col("_stratum_n") < F.lit(cap) * F.lit(_HASH_SPACE))
         )
-        .drop("_stratum_n")
+        .drop("_stratum_n", *[f"_s_{c}" for c in strata])
     )

@@ -1417,6 +1417,13 @@ def q31_trigram_langid(spark, sf_dir):
             (F.lit(_TRI_K) - F.col("rnk") + 1).cast("long").alias("wgt"),
         )
     )
+    # INVARIANT: doc_id functionally determines lang (doc_id is the
+    # documents table's primary key), so per_doc's (doc_id, lang, tri)
+    # grouping has at most one row per (doc_id, tri) and this projection
+    # equals the oracle's SELECT DISTINCT doc_id, tri WITHOUT a second
+    # shuffle. A duplicated doc_id carrying two langs would double-count
+    # trigram weights here — pinned by
+    # tests/test_trigram_langid.py::test_doc_id_determines_lang_invariant.
     doc_tris = per_doc.select("doc_id", "tri")
     scores = (
         doc_tris.join(F.broadcast(prof), "tri")
@@ -2154,7 +2161,7 @@ def q42_stratified_sample(spark, sf_dir):
 _Q42_SQL = f"""
 WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
 SELECT d.doc_id, d.lang, d.source
-FROM documents d JOIN counts c USING (lang)
+FROM documents d JOIN counts c ON d.lang IS NOT DISTINCT FROM c.lang
 WHERE c.n <= {_STRAT_CAP}
    OR {_md5_int_sql("'s42:' || d.doc_id", 8)} * c.n
       < {_STRAT_CAP} * 4294967296

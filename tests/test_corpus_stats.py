@@ -115,3 +115,49 @@ def test_retention_new_vs_returning(spark, tmp_path):
         "2024-01-02": (2, 1, 1),
         "2024-01-03": (1, 0, 1),
     }
+
+
+def test_q47_approx_percentile_scale_path(spark):
+    """q47's docstring names approx_percentile as the 10^12-row plan
+    (exact `percentile` buffers every group value; the t-digest sketch
+    is mergeable/map-side-combinable). Make the claim executable: at
+    sf0.001 the approximate result with a tight accuracy parameter must
+    land within tolerance of the exact anchor for every group/quantile
+    (the exact/approx pattern of the ANN recall gate)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata missing")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probs = [0.5, 0.9, 0.99]
+    eps = 0.01  # rank tolerance: accuracy=10000 guarantees ~1/10000,
+    #             but approx returns an ACTUAL value (no interpolation),
+    #             so allow one percentile of rank slack around each p
+    lo = [max(p - eps, 0.0) for p in probs]
+    hi = [min(p + eps, 1.0) for p in probs]
+    exact = {
+        r.event_type: (r.lo, r.hi)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.array(*[F.lit(p) for p in lo])).alias("lo"),
+            F.percentile("value", F.array(*[F.lit(p) for p in hi])).alias("hi"),
+        )
+        .collect()
+    }
+    approx = {
+        r.event_type: r.q
+        for r in e.groupBy("event_type")
+        .agg(
+            F.approx_percentile(
+                "value", F.array(*[F.lit(p) for p in probs]), F.lit(10000)
+            ).alias("q")
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for et, (elo, ehi) in exact.items():
+        for i, av in enumerate(approx[et]):
+            # the approximate quantile must land inside the exact
+            # [p-eps, p+eps] rank band — the guarantee the sketch makes
+            assert elo[i] <= av <= ehi[i], (et, probs[i], elo[i], av, ehi[i])

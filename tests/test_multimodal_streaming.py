@@ -217,3 +217,21 @@ def test_stateful_first_seen_entities(spark, tmp_path):
     assert all(len(v) == 1 for v in by_entity.values()), by_entity
     ent_of = {r.alias: r.entity_id for r in d.collect()}
     assert set(by_entity) == {ent_of[a0], ent_of[a1], ent_of[a2]}
+
+
+def test_image_decoder_switch_fails_loudly_without_codec(monkeypatch):
+    """PROM_SPARK_IMAGE_DECODER=pillow must either decode for real or
+    fail loudly — never fall back silently to the stand-in."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow available: real path would decode")
+    except ImportError:
+        pass
+    from prom_spark.multimodal import _decode_pixels_stub
+
+    monkeypatch.setenv("PROM_SPARK_IMAGE_DECODER", "pillow")
+    with pytest.raises(NotImplementedError, match="PROM_SPARK_IMAGE_DECODER"):
+        _decode_pixels_stub(b"\x89PNG")

@@ -50,3 +50,17 @@ def test_sample_is_subset_and_cap_monotone(spark, skewed):
 def test_cap_validation(spark, skewed):
     with pytest.raises(ValueError, match="cap"):
         stratified_sample(skewed, ["grp"], "id", cap=0)
+
+
+def test_null_stratum_sampled_as_group(spark):
+    # 300 rows with lang=NULL, 40 with lang='en'; the NULL stratum must
+    # survive the re-join and be downsampled toward the cap like any
+    # other stratum (a plain equi-join would silently drop all of it)
+    rows = [(i, None) for i in range(300)] + [(1000 + i, "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, ["lang"], "doc_id", cap=50).collect()
+    n_null = sum(1 for r in out if r.lang is None)
+    n_en = sum(1 for r in out if r.lang == "en")
+    assert n_en == 40  # under cap: kept whole
+    assert 0 < n_null < 300  # sampled, not dropped, not kept whole
+    assert abs(n_null - 50) <= 30  # Binomial(300, 1/6) concentration

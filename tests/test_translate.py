@@ -62,3 +62,20 @@ def test_model_stage_sees_only_dict_misses(spark, docs):
     # the union has exactly two children: dict-hit projection and the
     # filtered miss branch feeding the single Arrow stage
     assert "Union" in executed
+
+
+def test_real_kernel_switch_fails_loudly_without_runtime():
+    """The PROM_SPARK_MT_MODEL config switch must either load a real
+    model or fail loudly — never fall back silently to the stand-in."""
+    import pytest
+
+    try:
+        import transformers  # noqa: F401
+
+        pytest.skip("transformers available: real path would load")
+    except ImportError:
+        pass
+    from prom_spark.functions.translate import _load_model
+
+    with pytest.raises(NotImplementedError, match="PROM_SPARK_MT_MODEL"):
+        _load_model("Helsinki-NLP/opus-mt-en-de")

@@ -60,3 +60,25 @@ def test_argmax_tie_breaks_on_lang_asc(spark):
     assert {r["lang_pred"] for r in rows} == {"aa"}
     scores = {r["doc_id"]: r["score"] for r in rows}
     assert scores[1] == scores[2] > 0
+
+
+def test_doc_id_determines_lang_invariant(spark):
+    """q31's single-scan rewrite projects doc_tris straight off the
+    (doc_id, lang, tri) counts — equal to the oracle's DISTINCT
+    (doc_id, tri) only while doc_id determines lang. Pin that invariant
+    on the driver testdata the oracle comparison actually runs on."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf_dir):
+            continue
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dup = (
+            d.groupBy("doc_id")
+            .agg(F.countDistinct("lang").alias("n_langs"))
+            .filter(F.col("n_langs") > 1)
+            .count()
+        )
+        assert dup == 0, f"{sf_dir}: {dup} doc_ids with >1 lang"
