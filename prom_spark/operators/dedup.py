@@ -180,38 +180,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     callers default to 64.
     """
     assert 1 <= bits <= 64, "md5 two-digest scheme supports <= 64 bits"
-    hexs = "0123456789abcdef"
     toks = _tokens(df, id_col, text_col)
     digest = (
         F.md5("tok")
         if bits <= 32
         else F.concat(F.md5("tok"), F.md5(F.concat("tok", F.lit("#2"))))
     )
-    contrib = toks.select(
-        "_id",
-        digest.alias("h"),
-        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("b"),
-    ).select(
-        "_id",
-        "b",
-        F.when(((F.instr(F.lit(hexs), F.expr("substr(h, b, 1)")) - 1) % 2) == 1, 1)
-        .otherwise(-1)
-        .alias("v"),
+    # one groupBy(_id) with `bits` independent sum aggregates: the
+    # per-bit parity contributions are summed MAP-SIDE (HashAggregate
+    # partial merge), so the shuffle carries |docs| rows of `bits` longs
+    # instead of the |docs| × |tokens| × bits row explosion the
+    # per-bit-row formulation cost (the explode dominated q29 at sf0.1;
+    # at corpus scale it multiplies the token stream 64×). Per row the
+    # digest's hex digits are converted ONCE into 32-bit integer chunks,
+    # and each bit's parity is a shift+mask on its nibble's low bit —
+    # 64 string-scan expressions (substring+instr per bit per token)
+    # measured 4× slower than this integer form at the same plan shape.
+    n_chunks = (bits + 7) // 8
+    chunked = toks.select(
+        F.col("_id"),
+        *[
+            F.conv(F.substring(digest, 1 + 8 * c, 8), 16, 10)
+            .cast("long")
+            .alias(f"_c{c}")
+            for c in range(n_chunks)
+        ],
     )
-    return (
-        contrib.groupBy("_id", "b")
-        .agg(F.sum("v").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("b", "bit"))), lambda x: x["bit"]
-                ),
-            ).alias("simhash")
-        )
-        .withColumnRenamed("_id", id_col)
+
+    def _parity_sum(b: int):
+        ci, pi = (b - 1) // 8, (b - 1) % 8
+        parity = F.shiftright(F.col(f"_c{ci}"), (7 - pi) * 4).bitwiseAND(F.lit(1))
+        return F.sum(parity).alias(f"_p{b}")
+
+    sums = chunked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[_parity_sum(b) for b in range(1, bits + 1)],
+    )
+    # sign of sum(±1) == (2 * ones - n) > 0
+    return sums.select(
+        F.col("_id").alias(id_col),
+        F.concat(
+            *[
+                F.when(2 * F.col(f"_p{b}") - F.col("_n") > 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for b in range(1, bits + 1)
+            ]
+        ).alias("simhash"),
     )
 
 
@@ -234,7 +249,12 @@ def simhash_near_dupes(
     corpus). Pair density is observable via ``simhash_block_stats``; the
     16-bit mode remains for small vocabularies and oracle twins.
     """
-    s = simhash(df, id_col, text_col, bits)
+    # pin the signature table: the banded candidate join is a SELF-join,
+    # and without the pin Catalyst re-plans (and re-executes) the whole
+    # tokenize+digest+aggregate subtree on BOTH sides (the q26/q31
+    # shared-subtree pattern); signatures are one short row per doc, the
+    # cheapest possible thing to materialize
+    s = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
     n_bands = max_hamming + 1
     assert n_bands <= bits, "need at least one bit per band"
     sizes = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
@@ -253,18 +273,6 @@ def simhash_near_dupes(
             )
         ).alias("blk"),
     )
-    pairs = (
-        blocked.alias("a")
-        .join(blocked.alias("b"), on="blk")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("b._id").alias("id2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
-        )
-        .distinct()
-    )
     # verification stays inside whole-stage codegen: XOR + bit_count on
     # <=32-bit integer chunks of the bit-string (a zip_with over split
     # chars is interpreted per candidate row; conv() of a full 64-bit
@@ -277,9 +285,28 @@ def simhash_near_dupes(
     hamming = _chunk_ham(1, min(32, bits))
     if bits > 32:
         hamming = hamming + _chunk_ham(33, bits - 32)
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id1", "id2", "hamming")
+    # verify BEFORE dedup: a pair surfaces once per matching band (<= d+1
+    # times), and on a template-similar corpus candidate volume is large
+    # (758k candidates from 5k docs measured at sf0.1) — the hamming
+    # filter is pure codegen on the joined stream, so running it first
+    # means only true near-dup pairs (plus band duplicates) cross the
+    # distinct's exchange, instead of every candidate carrying two
+    # 64-char signatures through the shuffle
+    return (
+        blocked.alias("a")
+        .join(blocked.alias("b"), on="blk")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+        .distinct()
+    )
 
 
 def simhash_block_stats(
