@@ -8,7 +8,11 @@ entry(spark)  — flagship: reshape sf0.001 documents into the transcript
 queries()     — one entry per implemented operator from SURVEY.md §2
                 plus the training-data-pipeline extras (dedup, ANN,
                 text analysis), each over the driver testdata tables.
-oracle_sql()  — DuckDB twins for ALL 56 entries (see
+oracle_sql()  — DuckDB twins for ALL 50 entries (exactly 50 so the
+                driver's correctness window reaches every operator;
+                q04/q05, q16/q17 and q21/q53/q54 are merged gates, and
+                the retired q10/q20 keep their oracle check in
+                tests/test_retired_entries.py) (see
                 prom_spark/queries.py for the exactness rules: decimal
                 aggregates cast to rounded doubles on both engines,
                 round(x, 6) similarity scores, md5 hashing; recursive
