@@ -449,3 +449,55 @@ def embedding_near_dupes(
         .select("id1", "id2", cosine_sim("e1", "e2").alias("cosine"))
     )
     return scored.filter(F.col("cosine") >= threshold)
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Cluster near-dup PAIRS into groups and pick one representative
+    per group — the step that turns any pair relation (MinHash-LSH,
+    SimHash, embedding-cosine) into an actual corpus reduction.
+
+    Clusters are connected components over the pair graph (large-star /
+    small-star joins with lineage checkpoints — transitive closure, so
+    A~B, B~C collapses to one cluster even when A~C was never a
+    candidate pair). The representative is the cluster's best row by
+    ``order_col`` (default: the minimum id — fully deterministic), ties
+    broken by id. Singletons (docs in no pair) are their own cluster
+    and always kept.
+
+    Returns ``docs`` columns + ``cluster`` + boolean ``keep``. Designed
+    scale shape: the pair graph is tiny relative to the corpus (it only
+    holds near-dups), so CC runs on the small relation; the corpus
+    itself is touched by ONE left join against the (node, component)
+    table and one window over clusters — and cluster sizes are near-dup
+    group sizes, bounded in practice, so the window cannot see a
+    corpus-sized partition.
+    """
+    from pyspark.sql import Window
+
+    from prom_spark.operators.connected_components import connected_components
+
+    comp = connected_components(pairs, src="id1", dst="id2")
+    labeled = docs.join(
+        comp.select(F.col("node").alias(id_col), "component"),
+        on=id_col,
+        how="left",
+    ).withColumn("cluster", F.coalesce("component", F.col(id_col))).drop(
+        "component"
+    )
+    if order_col is None:
+        rank_order = [F.asc(id_col)]
+    else:
+        rank_order = [
+            F.desc(order_col) if descending else F.asc(order_col),
+            F.asc(id_col),
+        ]
+    w = Window.partitionBy("cluster").orderBy(*rank_order)
+    return labeled.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
