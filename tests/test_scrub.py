@@ -127,3 +127,46 @@ def test_strip_boilerplate_broadcasts_detected_set(spark):
     # shuffled join of the corpus against the boilerplate table
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mask_pii_idempotent_property(spark):
+    """Masking is idempotent: placeholders contain no maskable
+    patterns, so a second pass is a no-op (property over random-ish
+    fixtures covering every pattern class and their concatenations)."""
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "a@b.io c@d.org two emails",
+                "http://a.b https://c.d/e?f=1#g",
+                "1.2.3.4 10.20.30.40 255.255.255.255",
+                "1234567 12345678901234567890",
+                "mixed a@b.co http://x.y 9.9.9.9 7654321 end",
+                "",
+                "   ",
+                "<EMAIL> already masked <URL>",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = mask_pii(df, "text", out_col="m1")
+    twice = mask_pii(once, "m1", out_col="m2")
+    bad = twice.filter(F.col("m1") != F.col("m2")).count()
+    assert bad == 0
+
+
+def test_repetition_stats_bounded_property(spark):
+    """Both fractions live in [0, 1] for arbitrary documents."""
+    rows = [
+        (0, "x\nx\nx\nx"),
+        (1, "a " * 500),
+        (2, "\n\n\n"),
+        (3, "one"),
+        (4, "a b\na b\nc d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_stats(df, "doc_id", "text").collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert 0.0 <= r.dup_line_char_frac <= 1.0, r
+        assert 0.0 <= r.dup_bigram_frac <= 1.0, r
