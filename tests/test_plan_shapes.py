@@ -163,3 +163,25 @@ def test_bloom_probe_is_broadcast(spark):
     out = bloom_passing_keys(bloom_bits(members, "k"), probes, "k")
     plan = _op_tree(_formatted_plan(spark, out))
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_single_explode_single_exchange(spark):
+    """The 64-bit SimHash signature plan must stay at ONE Generate (the
+    token explode) and ONE Exchange (the per-doc aggregation with
+    map-side parity sums). The per-bit row-explosion formulation —
+    Generate over sequence(1, 64) multiplying the token stream 64× —
+    was a measured 2× regression on q29 and must not come back."""
+    from prom_spark.operators.dedup import simhash
+
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id long, text string"
+    )
+    plan = (
+        simhash(d, "doc_id", "text", 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "sequence(1" not in plan
